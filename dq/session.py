@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's PyHive/Thrift connection layer
+(``core/connection.py:44-68`` in /root/reference) — there is no connection
+pool to manage; the session IS the engine. Defaults are chosen for the
+sandbox (single-JVM local mode) but every knob is the one you would set on
+a real multi-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting) — the skew story for
+  zipf-skewed web domains.
+- Arrow on — all pandas UDFs ride vectorized Arrow batches.
+- Session timezone pinned UTC — the reference's freshness semantics are
+  wall-clock-date sensitive (``core/quality_checks.py:734-735``); we pin TZ
+  and inject run_date instead.
+- ANSI off — hash/modulo arithmetic in dedup signatures must wrap, not
+  throw (Spark 4 defaults ANSI on).
+- shuffle.partitions sized to cores locally; on a real cluster set it to
+  2-3x total executor cores or rely on AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dq",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox).
+    On a real cluster you would omit it and let spark-submit supply YARN/K8s.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("DQ_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
