@@ -1,0 +1,63 @@
+"""Compiled-regex PII/toxicity scrubbing — byte-identical Python semantics.
+
+North-rule requirement (BASELINE.json): scrubbed text must be
+byte-identical per url to the Python-defined reference semantics. JVM
+``regexp_replace`` has subtly different regex semantics (Unicode ``\\w``
+classes, etc.), so the scrub runs Python ``re`` inside an Arrow-vectorized
+pandas UDF: module-level compiled patterns, reused per batch, no per-row
+Python UDFs (SURVEY.md §2.9).
+
+``scrub_string`` is the single source of truth; the pandas UDF and the
+golden tests both call it, which is what makes byte-identity testable.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dq.vocab import TOXIC_LEXICON
+
+EMAIL_TOKEN = "[EMAIL]"
+PHONE_TOKEN = "[PHONE]"
+IP_TOKEN = "[IP]"
+TOXIC_TOKEN = "[CENSORED]"
+
+EMAIL_RE = re.compile(
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+# international (+1-555-012-3456) and local ((555) 012-3456 / 555-012-3456)
+PHONE_RE = re.compile(
+    r"(?:\+\d{1,3}(?:[-. ]\d{2,4}){2,4})"
+    r"|(?:\(\d{3}\)[-. ]?\d{2,4}[-. ]\d{2,4})"
+    r"|(?:\b\d{3}[-.]\d{3,4}[-.]\d{2,4}\b)")
+IPV4_RE = re.compile(
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
+TOXIC_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(w) for w in TOXIC_LEXICON) + r")\b",
+    re.IGNORECASE | re.UNICODE)
+
+
+def scrub_string(text: str | None) -> str | None:
+    """Pure-Python scrub — the byte-identity contract."""
+    if text is None:
+        return None
+    out = EMAIL_RE.sub(EMAIL_TOKEN, text)
+    out = IPV4_RE.sub(IP_TOKEN, out)
+    out = PHONE_RE.sub(PHONE_TOKEN, out)
+    out = TOXIC_RE.sub(TOXIC_TOKEN, out)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def scrub_udf(texts: pd.Series) -> pd.Series:
+    # Arrow batch in/out; compiled patterns shared across batches.
+    return texts.map(scrub_string, na_action="ignore")
+
+
+def scrub_col(text_col: str = "text") -> Column:
+    return scrub_udf(F.col(text_col))

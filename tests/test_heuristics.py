@@ -1,0 +1,62 @@
+"""Heuristic rule semantics on hand-built documents."""
+
+from pyspark.sql import functions as F
+
+from dq.heuristics import heuristic_pass, with_heuristics
+
+CLEAN = ("the river and the mountain were seen from the village garden "
+         "and the people of the valley said that the harvest was good "
+         "and the weather in the autumn was mild and the market price "
+         "of the grain was stable and the library of the station had "
+         "many books about the history of the region and its people")
+
+
+def _score(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return with_heuristics(df).withColumn("hpass", heuristic_pass(df)).collect()
+
+
+def test_clean_doc_passes(spark):
+    r = _score(spark, [CLEAN])[0]
+    assert r.hpass, r.asDict()
+    assert r.n_words >= 50 and r.stopword_frac > 0.2
+    assert r.rule_distinct_ratio and r.rule_symbol_ratio
+
+
+def test_null_and_empty_fail_all(spark):
+    for r in _score(spark, [None, "", "   "]):
+        assert not r.rule_non_empty
+        assert not r.hpass
+        assert not r.rule_min_words        # gated to False, not NULL
+
+
+def test_short_doc_fails_min_words(spark):
+    r = _score(spark, ["only a few words here"])[0]
+    assert not r.rule_min_words and not r.hpass
+
+
+def test_symbol_heavy_fails(spark):
+    words = ("alpha ## beta @@ gamma ## delta $$ " * 20) + CLEAN
+    r = _score(spark, [words])[0]
+    assert r.symbol_ratio > 0.1
+    assert not r.rule_symbol_ratio
+
+
+def test_low_stopword_fails(spark):
+    t = " ".join(["mountain river garden window engine"] * 15)
+    r = _score(spark, [t])[0]
+    assert r.stopword_frac == 0.0
+    assert not r.rule_stopword_frac
+
+
+def test_repetition_fails_distinct_ratio(spark):
+    t = " ".join(["the market price was stable today"] * 20)
+    r = _score(spark, [t])[0]
+    assert r.distinct_ratio < 0.2
+    assert not r.rule_distinct_ratio
+
+
+def test_unicode_letters_count_as_alpha(spark):
+    t = " ".join(["في من على إلى حديقة نافذة رحلة طريق"] * 10)
+    r = _score(spark, [t])[0]
+    assert r.alpha_frac == 1.0 and r.rule_alpha_frac
