@@ -1,0 +1,771 @@
+"""The query catalog: every operator as a (Spark callable, oracle SQL) pair.
+
+This is the driver-facing inventory behind ``__spark_entry__.py``: one
+entry per implemented operator family from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup families, similarity search, text
+analysis). Each Spark callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; the oracle is ANSI SQL DuckDB runs over the same parquet.
+
+Cross-engine exactness rules used throughout (so the driver's
+order-insensitive value-hash matches bit-for-bit):
+- double sums go through ``DECIMAL`` casts (exact accumulation, identical
+  half-up rounding of the ~2-decimal synthetic values in both engines),
+  then back to double (IEEE correctly-rounded, deterministic);
+- averages are ``exact_decimal_sum / count`` evaluated in double — one
+  deterministic division, no accumulation-order dependence;
+- ratio thresholds are integer cross-multiplications, never float
+  division;
+- timestamps: the callables pin ``spark.sql.session.timeZone=UTC`` so
+  parquet timestamps read identically to DuckDB's naive reading;
+- clock-dependent checks take a FIXED run_date (the reference reads the
+  wall clock, ``core/quality_checks.py:734-735`` — we inject, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dq import dedup, similarity, textstats
+from dq.heuristics import RULE_NAMES, with_heuristics
+from dq.models import make_langid_udf, make_perplexity_udf
+from dq.scrub import scrub_udf
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+RUN_DATE = "2024-01-31"          # injected clock for freshness semantics
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# =====================================================================
+# Table-rule engine queries (SURVEY §2.10 semantics over testdata tables)
+# =====================================================================
+
+def q_null_empty_profile(spark, sf_dir):
+    """A2/A3/A4: per-column null + empty-string tallies in ONE agg pass
+    (the reference rescans per check; we fuse — SURVEY §4)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum((F.col("text").isNotNull() & (F.trim("text") == ""))
+              .cast("long")).alias("empty_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.sum(F.col("source").isNull().cast("long")).alias("null_source"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("null_n_chars"),
+        F.sum(F.col("text").isNotNull().cast("long")).alias("nonnull_text"),
+    )
+
+
+ORACLE_NULL_EMPTY = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS empty_text,
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_n_chars,
+       sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS nonnull_text
+FROM documents
+"""
+
+
+def q_exact_dup_stats(spark, sf_dir):
+    """A6 row-uniqueness at document grain: per-source total vs distinct."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.exact_dup_stats(d, ["source"], "text")
+            .orderBy("source"))
+
+
+ORACLE_DUP_STATS = """
+SELECT source,
+       count(*) AS total_rows,
+       count(DISTINCT text) AS distinct_texts,
+       count(*) - count(DISTINCT text) AS duplicate_rows
+FROM documents GROUP BY source
+"""
+
+
+def q_daily_row_counts(spark, sf_dir):
+    """A1 row-count per (partition, type) — the per-partition loop of the
+    reference (main.py:349-354) collapsed into one groupBy."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.to_date("ts").alias("event_date"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("row_count")))
+
+
+ORACLE_DAILY_COUNTS = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       count(*) AS row_count
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_freshness(spark, sf_dir):
+    """A5/F2-F4 freshness: max(to_date(ts)) == run_date - 1, per type."""
+    e = _t(spark, sf_dir, "events")
+    yesterday = F.date_sub(F.to_date(F.lit(RUN_DATE)), 1)
+    return (e.groupBy("event_type")
+            .agg(F.max(F.to_date("ts")).alias("latest_date"))
+            .withColumn("expected_date", yesterday)
+            .withColumn("date_difference_days",
+                        F.datediff("latest_date", "expected_date"))
+            .withColumn("passed",
+                        F.col("latest_date") == F.col("expected_date")))
+
+
+ORACLE_FRESHNESS = f"""
+SELECT event_type,
+       max(CAST(ts AS DATE)) AS latest_date,
+       CAST(DATE '{RUN_DATE}' - INTERVAL 1 DAY AS DATE) AS expected_date,
+       datediff('day', CAST(DATE '{RUN_DATE}' - INTERVAL 1 DAY AS DATE),
+                max(CAST(ts AS DATE))) AS date_difference_days,
+       max(CAST(ts AS DATE)) = CAST(DATE '{RUN_DATE}' - INTERVAL 1 DAY AS DATE) AS passed
+FROM events GROUP BY event_type
+"""
+
+
+def q_rowcount_trend(spark, sf_dir):
+    """A7/W1-W3 dynamic threshold: last-10 daily counts per type →
+    lag-increments → avg → min_rows = floor(latest + avg*(1-0.20)),
+    clamped ≥1 (reference quality_checks.py:564-614)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("row_count")))
+    w_recent = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    recent = (daily.withColumn("_rn", F.row_number().over(w_recent))
+              .filter(F.col("_rn") <= 10))
+    w_time = Window.partitionBy("event_type").orderBy("d")
+    agg = (recent
+           .withColumn("_inc",
+                       F.col("row_count") - F.lag("row_count").over(w_time))
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_records"),
+                F.sum("_inc").alias("inc_sum"),
+                F.count("_inc").alias("inc_n"),
+                F.max_by("row_count", F.col("d")).alias("latest_count")))
+    avg_inc = F.col("inc_sum").cast("double") / F.col("inc_n")
+    min_rows = F.greatest(
+        F.floor(F.col("latest_count") + avg_inc * 0.8).cast("bigint"),
+        F.lit(1).cast("bigint"))
+    return (agg.withColumn("min_rows", min_rows)
+            .select("event_type", "n_records", "latest_count",
+                    "inc_sum", "min_rows"))
+
+
+ORACLE_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS row_count
+  FROM events GROUP BY 1, 2
+), recent AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d DESC) AS rn
+  FROM daily QUALIFY rn <= 10
+), incs AS (
+  SELECT event_type, d, row_count,
+         row_count - lag(row_count) OVER (PARTITION BY event_type ORDER BY d) AS inc
+  FROM recent
+), agg AS (
+  SELECT event_type, count(*) AS n_records,
+         sum(inc) AS inc_sum, count(inc) AS inc_n,
+         max_by(row_count, d) AS latest_count
+  FROM incs GROUP BY event_type
+)
+SELECT event_type, n_records, latest_count, inc_sum,
+       greatest(CAST(floor(latest_count + (CAST(inc_sum AS DOUBLE)/inc_n) * 0.8) AS BIGINT),
+                CAST(1 AS BIGINT)) AS min_rows
+FROM agg
+"""
+
+
+def q_topk_recent(spark, sf_dir):
+    """W1 top-N per key: 3 most recent events per user (deterministic
+    tie-break on event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "rn"))
+
+
+ORACLE_TOPK = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+FROM events QUALIFY rn <= 3
+"""
+
+
+def q_env_compare(spark, sf_dir):
+    """J1 DEV≤PROD row-count comparison (main.py:214-268 semantics:
+    inner-join on key, skip zero counts, passed = dev <= prod).
+    Environments are a deterministic split of events."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.withColumn(
+        "environment",
+        F.when(F.col("user_id") % 2 == 0, "DEV").otherwise("PROD"))
+    counts = tagged.groupBy("environment", "event_type").count()
+    dev = (counts.filter(F.col("environment") == "DEV")
+           .select("event_type", F.col("count").alias("dev_count")))
+    prod = (counts.filter(F.col("environment") == "PROD")
+            .select("event_type", F.col("count").alias("prod_count")))
+    return (dev.join(F.broadcast(prod), "event_type", "inner")
+            .filter((F.col("dev_count") != 0) & (F.col("prod_count") != 0))
+            .withColumn("difference", F.col("dev_count") - F.col("prod_count"))
+            .withColumn("passed", F.col("dev_count") <= F.col("prod_count")))
+
+
+ORACLE_ENV_COMPARE = """
+WITH tagged AS (
+  SELECT *, CASE WHEN user_id % 2 = 0 THEN 'DEV' ELSE 'PROD' END AS environment
+  FROM events
+), counts AS (
+  SELECT environment, event_type, count(*) AS cnt FROM tagged GROUP BY 1, 2
+)
+SELECT d.event_type,
+       d.cnt AS dev_count, p.cnt AS prod_count,
+       d.cnt - p.cnt AS difference,
+       d.cnt <= p.cnt AS passed
+FROM counts d JOIN counts p
+  ON d.event_type = p.event_type
+ AND d.environment = 'DEV' AND p.environment = 'PROD'
+WHERE d.cnt <> 0 AND p.cnt <> 0
+"""
+
+
+def q_summary_banding(spark, sf_dir):
+    """A8 pass-rate scoring + urgency banding (postgres_storage.py:518-538
+    bands) with integer-exact pass_rate_x100 = floor(passed*10000/total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count(F.lit(1)).alias("total_tests"),
+                F.sum((F.col("l_discount") <= 0.05).cast("long"))
+                .alias("passed_tests")))
+    rate = F.floor(F.col("passed_tests") * 10000 / F.col("total_tests")) \
+            .cast("bigint")
+    band = (F.when(rate < 5000, "CRITICAL").when(rate < 7000, "HIGH")
+            .when(rate < 8500, "MEDIUM").when(rate < 9500, "LOW")
+            .otherwise("PASS"))
+    return (agg.withColumn("pass_rate_x100", rate)
+            .withColumn("status", band))
+
+
+ORACLE_BANDING = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS total_tests,
+         sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS passed_tests
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, total_tests, passed_tests,
+       CAST(floor(passed_tests * 10000 / total_tests) AS BIGINT) AS pass_rate_x100,
+       CASE WHEN floor(passed_tests * 10000 / total_tests) < 5000 THEN 'CRITICAL'
+            WHEN floor(passed_tests * 10000 / total_tests) < 7000 THEN 'HIGH'
+            WHEN floor(passed_tests * 10000 / total_tests) < 8500 THEN 'MEDIUM'
+            WHEN floor(passed_tests * 10000 / total_tests) < 9500 THEN 'LOW'
+            ELSE 'PASS' END AS status
+FROM agg
+"""
+
+
+def q_rollup_scores(spark, sf_dir):
+    """A8 two-level table→database rollup, done natively with rollup()
+    (the reference hand-codes the two levels, postgres_storage.py:262-274)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("suppliers"),
+                 F.sum((F.col("s_acctbal") > 0).cast("long"))
+                 .alias("positive_bal")))
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, count(*) AS suppliers,
+       sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS positive_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (the checkpoint-resume primitive, SURVEY §2.3):
+    customers with no orders since 2000-01-01, tallied per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    n = _t(spark, sf_dir, "nation")
+    anti = c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti")
+    return (anti.join(F.broadcast(n), anti.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("customers_no_orders")))
+
+
+ORACLE_ANTI = """
+SELECT n_name, count(*) AS customers_no_orders
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+# =====================================================================
+# Analytics queries (join/agg coverage at TPC-H shape)
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: exact decimal accumulation, deterministic avgs."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).alias("_sq"),
+                F.sum(price).alias("_sp"),
+                F.sum(disc_price).alias("_sdp"),
+                F.sum(charge).alias("_sc"),
+                F.sum(disc).alias("_sd"),
+                F.count(F.lit(1)).alias("count_order")))
+    cnt = F.col("count_order")
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / cnt).alias("avg_qty"),
+        (F.col("_sp").cast("double") / cnt).alias("avg_price"),
+        (F.col("_sd").cast("double") / cnt).alias("avg_disc"),
+        "count_order")
+
+
+ORACLE_PRICING = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sdp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sc,
+         sum(CAST(l_discount AS DECIMAL(4,2))) AS sd,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sp AS DOUBLE) AS sum_base_price,
+       CAST(sdp AS DOUBLE) AS sum_disc_price,
+       CAST(sc AS DOUBLE) AS sum_charge,
+       CAST(sq AS DOUBLE) / count_order AS avg_qty,
+       CAST(sp AS DOUBLE) / count_order AS avg_price,
+       CAST(sd AS DOUBLE) / count_order AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """4-way join with broadcast dims: revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(4,2)")))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("r_name", "n_name")
+            .agg(F.sum(rev).alias("_rev"),
+                 F.count(F.lit(1)).alias("line_count"))
+            .select("r_name", "n_name",
+                    F.col("_rev").cast("double").alias("revenue"),
+                    "line_count"))
+
+
+ORACLE_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_hourly_windows(spark, sf_dir):
+    """Tumbling 1-hour windows over events (batch analog of the
+    streaming windowed agg): counts + distinct users + quantized sums."""
+    e = _t(spark, sf_dir, "events")
+    qval = F.floor(F.col("value") * 100).cast("bigint")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.sum(qval).alias("value_cents_sum")))
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Scalar-function coverage: JSON field extraction + aggregation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).alias("k_sum"),
+                 F.max(k).alias("k_max"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_sum,
+       max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_max,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Text-analysis operators (training-data pipeline, over `documents`)
+# =====================================================================
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + document fingerprinting (md5 of normalized text,
+    cross-engine reproducible)."""
+    d = _t(spark, sf_dir, "documents")
+    d = textstats.with_text_stats(d, "text")
+    return d.select("doc_id", "n_tokens", "n_distinct_tokens",
+                    "n_chars_actual", "token_len_sum", "fingerprint")
+
+
+ORACLE_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       coalesce(length(text), 0) AS n_chars_actual,
+       coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS token_len_sum,
+       md5(trim(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fingerprint
+FROM t
+"""
+
+
+def q_quality_flag_summary(spark, sf_dir):
+    """Quality scoring rollup: per-source counts passing each integer-
+    exact quality gate (length / mean token length / distinct ratio)."""
+    d = _t(spark, sf_dir, "documents")
+    d = textstats.quality_flags(d, "text")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.col("q_min_tokens").cast("long")).alias("pass_min_tokens"),
+                 F.sum(F.col("q_mean_token_len").cast("long")).alias("pass_mean_len"),
+                 F.sum(F.col("q_distinct_ratio").cast("long")).alias("pass_distinct"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+ORACLE_QUALITY_FLAGS = """
+WITH t AS (
+  SELECT source,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), s AS (
+  SELECT source, len(toks) AS n,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS lensum,
+         len(list_distinct(toks)) AS nd
+  FROM t
+)
+SELECT source, count(*) AS docs,
+       sum(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS pass_min_tokens,
+       sum(CASE WHEN lensum * 10 >= 30 * n AND lensum * 10 <= 120 * n AND n > 0
+                THEN 1 ELSE 0 END) AS pass_mean_len,
+       sum(CASE WHEN nd * 100 >= 20 * n AND n > 0 THEN 1 ELSE 0 END) AS pass_distinct,
+       sum(n) AS total_tokens
+FROM s GROUP BY source
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection counts per source (regex plumbing; the corpus
+    carries no planted PII so counts are honest zeros — the scrub
+    byte-identity tests live in tests/test_scrub_models.py)."""
+    d = _t(spark, sf_dir, "documents")
+    email = F.regexp_count("text",
+                           F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    ipv4 = F.regexp_count("text",
+                          F.lit(r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"))
+    digits = F.regexp_count("text", F.lit(r"[0-9]"))
+    return (d.groupBy("source")
+            .agg(F.sum(email).alias("email_hits"),
+                 F.sum(ipv4).alias("ipv4_hits"),
+                 F.sum(digits).alias("digit_chars"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
+ORACLE_PII = """
+SELECT source,
+       sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS email_hits,
+       sum(len(regexp_extract_all(text, '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))) AS ipv4_hits,
+       sum(len(regexp_extract_all(text, '[0-9]'))) AS digit_chars,
+       count(*) AS docs
+FROM documents GROUP BY source
+"""
+
+
+# =====================================================================
+# Dedup + similarity (training-data pipeline)
+# =====================================================================
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (sim ≥ 1/3), integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", n=3,
+                               min_num=1, min_den=3)
+
+
+ORACLE_JACCARD = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), chr(9247)) AS s
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, intersection,
+       sa.sz AS size_a, sb.sz AS size_b,
+       sa.sz + sb.sz - intersection AS union_size
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE intersection * 3 >= (sa.sz + sb.sz - intersection) * 1
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) candidate pairs — approximate; no SQL
+    oracle (xxhash64 signatures are Spark-side); validated against the
+    exact Jaccard operator in tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.minhash_lsh_pairs(d, "doc_id", "text",
+                                    num_hashes=64, bands=16, n=3)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates (Hamming ≤ 3) — approximate; no SQL
+    oracle; validated in tests."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query (query set = vec_id < 10)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.brute_force_topk(e, queries, k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
+ORACLE_EMB_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding AS cv FROM embeddings
+), pairs AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(cv) + 1),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_sim
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r6,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+FROM pairs QUALIFY rank <= 5
+"""
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-k (scale path) — approximate; no SQL
+    oracle; recall vs brute force asserted in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.lsh_topk(e, queries, k=5, n_planes=16, bands=8, dim=64)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
+# =====================================================================
+# North-rule flagship: the full quality-filter pipeline over documents
+# =====================================================================
+
+def _documents_as_webpages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2024-01-15 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("html"),
+        "text",
+        "lang",
+        "doc_id", "source")
+
+
+def q_quality_filter_pipeline(spark, sf_dir):
+    """End-to-end flagship: heuristics (Column exprs) + langid +
+    perplexity (broadcast-model pandas UDFs) + exact dedup + scrub →
+    per-(source, keep) tallies. Model-scored — no SQL oracle (rows-only
+    check); keep/drop F1 vs an independent pandas oracle is asserted in
+    tests/test_pipeline.py."""
+    from dq.heuristics import HeuristicConfig
+    from dq.pipeline import ALL_RULES, PipelineConfig, score_pages
+
+    pages = _documents_as_webpages(spark, sf_dir)
+    cfg = PipelineConfig(
+        accept_langs=("en",),
+        heuristics=HeuristicConfig(min_words=30, min_stopword_frac=0.0,
+                                   min_mean_word_len=2.0),
+    )
+    scored = score_pages(spark, pages, cfg)
+    aggs = [F.sum(F.col(r).cast("long")).alias(f"pass_{r}")
+            for r in ALL_RULES]
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.col("keep").cast("long")).alias("kept"),
+                 *aggs)
+            .withColumn("dropped", F.col("docs") - F.col("kept")))
+
+
+def q_scrubbed_fingerprints(spark, sf_dir):
+    """Scrub stage plumbing: per-doc md5 fingerprint of scrubbed text.
+    The corpus has no planted PII, so scrub is the identity mapping and
+    the md5 equals the oracle's md5 of the raw text — which makes the
+    pandas-UDF round-trip byte-exactness itself the thing under test."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(scrub_udf(F.col("text")), "UTF-8"))
+        .alias("scrubbed_md5"))
+
+
+ORACLE_SCRUB_FP = """
+SELECT doc_id, md5(text) AS scrubbed_md5 FROM documents
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "null_empty_profile": q_null_empty_profile,
+    "exact_dup_stats": q_exact_dup_stats,
+    "daily_row_counts": q_daily_row_counts,
+    "freshness": q_freshness,
+    "rowcount_trend": q_rowcount_trend,
+    "topk_recent": q_topk_recent,
+    "env_compare": q_env_compare,
+    "summary_banding": q_summary_banding,
+    "rollup_scores": q_rollup_scores,
+    "customers_without_orders": q_customers_without_orders,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "hourly_windows": q_hourly_windows,
+    "json_extract": q_json_extract,
+    "doc_token_stats": q_doc_token_stats,
+    "quality_flag_summary": q_quality_flag_summary,
+    "pii_scan": q_pii_scan,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
+    "scrubbed_fingerprints": q_scrubbed_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "null_empty_profile": ORACLE_NULL_EMPTY,
+    "exact_dup_stats": ORACLE_DUP_STATS,
+    "daily_row_counts": ORACLE_DAILY_COUNTS,
+    "freshness": ORACLE_FRESHNESS,
+    "rowcount_trend": ORACLE_TREND,
+    "topk_recent": ORACLE_TOPK,
+    "env_compare": ORACLE_ENV_COMPARE,
+    "summary_banding": ORACLE_BANDING,
+    "rollup_scores": ORACLE_ROLLUP,
+    "customers_without_orders": ORACLE_ANTI,
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE,
+    "hourly_windows": ORACLE_HOURLY,
+    "json_extract": ORACLE_JSON,
+    "doc_token_stats": ORACLE_TOKEN_STATS,
+    "quality_flag_summary": ORACLE_QUALITY_FLAGS,
+    "pii_scan": ORACLE_PII,
+    "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "embedding_topk": ORACLE_EMB_TOPK,
+    "scrubbed_fingerprints": ORACLE_SCRUB_FP,
+    # minhash_lsh_pairs / simhash_pairs / embedding_lsh_topk /
+    # quality_filter_pipeline: approximate or model-scored → rows-only.
+}

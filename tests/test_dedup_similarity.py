@@ -1,0 +1,180 @@
+"""Dedup families + similarity search: exact semantics and
+approximate-vs-exact validation (the approximate operators have no SQL
+oracle; the exact ones ARE their oracle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq import dedup, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------- textstats
+
+def test_token_stats_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat  sat on the mat"), (2, ""), (3, None), (4, "  x  ")],
+        "id long, text string")
+    out = {r["id"]: r for r in textstats.with_text_stats(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["n_distinct_tokens"] == 5          # 'the' twice
+    assert out[1]["token_len_sum"] == 17
+    assert out[2]["n_tokens"] == 0 and out[3]["n_tokens"] == 0
+    assert out[4]["n_tokens"] == 1
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, " hello\tworld ")],
+        "id long, text string")
+    fps = [r["fingerprint"]
+           for r in textstats.with_text_stats(df).orderBy("id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_rolling_fingerprints_overlap(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here")],
+        "id long, text string")
+    rows = (df.select("id", textstats.rolling_fingerprints(
+        F.col("text"), 4).alias("fps")).collect())
+    fps = {r["id"]: set(r["fps"]) for r in rows}
+    # doc 1's windows are a strict subset of doc 2's
+    assert fps[1] <= fps[2]
+    assert len(fps[2]) > len(fps[1])
+
+
+# ----------------------------------------------------------------- exact
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other"), (4, None), (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["is_dup_copy"]
+           for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: False, 3: True, 2: False, 4: False, 5: False}
+
+
+# --------------------------------------------------- minhash / jaccard
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    exact = {(r["id_a"], r["id_b"]): r["intersection"] / r["union_size"]
+             for r in dedup.jaccard_pairs(docs, n=3, min_num=1, min_den=10)
+             .collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                            n=3).collect()}
+    high = {p for p, s in exact.items() if s >= 0.7}
+    if high:
+        found = sum(p in lsh for p in high)
+        assert found / len(high) >= 0.9
+    # estimated jaccard tracks exact jaccard on shared pairs
+    shared = [(exact[p], lsh[p]) for p in lsh if p in exact]
+    assert shared, "LSH found no pair with any shingle overlap"
+    for ex, est in shared:
+        assert abs(ex - est) < 0.35
+
+
+def test_minhash_identical_texts_always_pair(spark):
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+            for i in range(4)] + [(10, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(df).collect()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert (a, b) in pairs
+    assert not any(10 in p for p in pairs)
+
+
+# ---------------------------------------------------------------- simhash
+
+def test_simhash_identical_and_near(spark):
+    base = ("spark catalyst tungsten shuffle partition broadcast "
+            "aggregate window join filter project scan " * 2)
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " tweak"),
+         (4, "совершенно other unrelated content entirely different")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert bin(fps[1] ^ fps[3]).count("1") <= 6
+    assert bin(fps[1] ^ fps[4]).count("1") > 10
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_null_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id long, text string")
+    rows = df.select(dedup.simhash64(F.col("text")).alias("fp")).collect()
+    assert all(r["fp"] is None for r in rows)
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi in range(3):
+        q = mat[ids == qi][0]
+        cos = (mat @ q) / (norms * np.linalg.norm(q))
+        cos[ids == qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:5]
+        assert by_q[qi] == [int(ids[i]) for i in order]
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5,
+                                 n_planes=16, bands=8, dim=64).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8   # measured 0.98 at 8 bands
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    import numpy as np
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 64).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(8)]
+    # plant a near-duplicate of vector 0
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.95,
+                                                n_planes=16, bands=8,
+                                                dim=64).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
