@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries + the end-to-end quality-filter pipeline.
+
+Runs every catalog query from ``dq.queries`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, then the north-rule pipeline
+(heuristics + langid + perplexity + dedup + scrub + lineage/metrics)
+over a deterministic synthetic ``webpages`` corpus (BASELINE.json
+input_hint shape; generation is materialized to parquet first so the
+measurement is the pipeline, not the generator).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {name: sec, ..., "pipeline": sec}, "sf": ...,
+   "pipeline_docs": N, "pipeline_docs_per_sec": ...}
+
+Scaling evidence (north rule: ≥0.8 efficiency from N to 4N executors,
+evidenced in-sandbox as two parallelism levels) is produced by
+``scripts/scaling_bench.py`` and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dq.pipeline import run_pipeline  # noqa: E402
+from dq.queries import QUERIES  # noqa: E402
+from dq.session import get_spark  # noqa: E402
+from dq.synth import webpages  # noqa: E402
+
+PIPELINE_DOCS = int(os.environ.get("DQ_BENCH_DOCS", "100000"))
+PAGES_PATH = os.environ.get("DQ_BENCH_PAGES", "/tmp/dq_bench_pages")
+
+
+def materialize_pages(spark, n: int, parallelism: int) -> None:
+    marker = os.path.join(PAGES_PATH, "_N")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(n):
+                return
+        shutil.rmtree(PAGES_PATH, ignore_errors=True)
+    webpages(spark, n, num_partitions=parallelism) \
+        .write.mode("overwrite").parquet(PAGES_PATH)
+    with open(marker, "w") as f:
+        f.write(str(n))
+
+
+def bench_pipeline(spark, reps: int = int(os.environ.get("DQ_BENCH_REPS", "2"))
+                   ) -> float:
+    """Best of ``reps`` (first run pays page-cache/JIT warmup)."""
+    best = float("inf")
+    for rep in range(reps):
+        pages = spark.read.parquet(PAGES_PATH)
+        t0 = time.time()
+        out = run_pipeline(spark, pages, f"bench-{rep}-{t0:.0f}",
+                           dt.datetime(2025, 10, 3), store=None, resume=False)
+        for frame in ("docs", "metrics", "lineage"):
+            out[frame].write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        out["scored"].unpersist()
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        total += timings[name]
+
+    materialize_pages(spark, PIPELINE_DOCS, cpus)
+    pipe_sec = bench_pipeline(spark)
+    timings["pipeline"] = round(pipe_sec, 3)
+    total += pipe_sec
+
+    print(json.dumps({
+        "metric": ("catalog queries + end-to-end quality-filter pipeline "
+                   "(langid+perplexity+rules+dedup+scrub) wall seconds"),
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_docs": PIPELINE_DOCS,
+        "pipeline_docs_per_sec": round(PIPELINE_DOCS / pipe_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,15 +20,24 @@ north-rule generalization of the reference's exact row-dedup,
 - **embedding cosine** — delegated to dq.similarity (hyperplane-LSH
                      bucketed or brute-force top-k).
 
-Everything is a native Column expression — signatures are computed
-row-local inside whole-stage codegen; the only shuffles are the explicit
-groupBy/join on candidate keys. No Python UDFs anywhere.
+Execution split: exact dedup and Jaccard shingling are native Column
+expressions (JVM-side, oracle-testable); MinHash/SimHash signatures run
+in Arrow-vectorized pandas UDFs with numpy (interpreted JVM higher-order
+functions measured ~400x slower — see the minhash section comment). All
+signature work is row-local; the only shuffles are the explicit
+groupBy/join on candidate keys.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dq.textstats import tokens
 
@@ -83,7 +92,8 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
-                  min_num: int = 1, min_den: int = 2) -> DataFrame:
+                  min_num: int = 1, min_den: int = 2,
+                  num_partitions: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs with sim ≥ min_num/min_den.
 
     Plan: explode distinct shingles → inverted index → self-equi-join on
@@ -99,45 +109,96 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     base = df.select(F.col(id_col).alias("_id"),
                      shingles(F.col(text_col), n).alias("_sh"))
-    sizes = base.select("_id", F.size("_sh").alias("_size"))
-    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    if num_partitions:
+        # small single-file inputs read as ONE split; spread the
+        # shingle computation and join across the cluster
+        base = base.repartition(num_partitions, "_id")
+    # carry the set size on every posting: two extra longs per posting
+    # buys us zero back-joins (and zero shingle recomputes) for sizes
+    inv = base.select("_id", F.size("_sh").alias("_size"),
+                      F.explode("_sh").alias("_s"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a._s") == F.col("b._s"))
                     & (F.col("a._id") < F.col("b._id")))
              .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"))
+                      F.col("b._id").alias("id_b"),
+                      F.col("a._size").alias("size_a"),
+                      F.col("b._size").alias("size_b"))
              .agg(F.count(F.lit(1)).alias("intersection")))
-    out = (inter
-           .join(sizes.select(F.col("_id").alias("id_a"),
-                              F.col("_size").alias("size_a")), "id_a")
-           .join(sizes.select(F.col("_id").alias("id_b"),
-                              F.col("_size").alias("size_b")), "id_b"))
     union = F.col("size_a") + F.col("size_b") - F.col("intersection")
-    return (out.withColumn("union_size", union)
-               .filter(F.col("intersection") * min_den
-                       >= F.col("union_size") * min_num))
+    return (inter.withColumn("union_size", union)
+            .filter(F.col("intersection") * min_den
+                    >= F.col("union_size") * min_num)
+            .select("id_a", "id_b", "intersection",
+                    "size_a", "size_b", "union_size"))
 
 
 # -------------------------------------------------------------- minhash ---
+#
+# Signatures are computed in Arrow-batched pandas UDFs with numpy — NOT
+# as JVM higher-order-function expressions. Measured on 5k docs:
+# 64 x array_min(transform(...)) interpreted lambdas cost ~40 ms/doc
+# (HOFs never enter whole-stage codegen); the vectorized double-hash
+# (Carter-Wegman: perm_i(s) = h1(s) + i*h2(s) mod 2^64, h1/h2 = the two
+# halves of md5) costs ~0.1 ms/doc and is deterministic everywhere.
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _py_shingles(text: str | None, n: int) -> list[str]:
+    """Python mirror of :func:`shingles` (same tokens, same separator)."""
+    if not text or not text.strip():
+        return []
+    toks = _WS_RE.split(text.strip())
+    if len(toks) < n:
+        return []
+    return list({SHINGLE_SEP.join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)})
+
+
+def _md5_u64_pairs(items: list[str]) -> "np.ndarray":
+    """(len(items), 2) uint64 array: the two halves of md5(item)."""
+    out = np.empty((len(items), 2), dtype=np.uint64)
+    for j, s in enumerate(items):
+        out[j] = np.frombuffer(hashlib.md5(s.encode("utf-8")).digest(),
+                               dtype=np.uint64)
+    return out
+
+
+def make_minhash_udf(num_hashes: int = 64, n: int = 3):
+    """Series[str] → Series[list[int64]] pandas UDF: minhash signature.
+
+    Per text: shingle → one md5 per shingle → numpy broadcast
+    ``(h1 + i*h2).min(axis=0)`` over all ``num_hashes`` permutations
+    (uint64 wraparound, reinterpreted as int64 for the Spark column).
+    Empty/NULL text → empty array.
+    """
+    idx = np.arange(num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        def one(text):
+            sh = _py_shingles(text, n)
+            if not sh:
+                return []
+            h = _md5_u64_pairs(sh)
+            sig = (h[:, 0:1] + idx[None, :] * h[:, 1:2]).min(axis=0)
+            return sig.view(np.int64).tolist()
+        return texts.map(one)
+
+    return minhash
+
 
 def minhash_signature(text: Column, num_hashes: int = 64,
                       n: int = 3) -> Column:
-    """Array of ``num_hashes`` minima over seeded xxhash64 of shingles.
-
-    One pass over the shingle array per hash function — all inside
-    codegen, no shuffle. Empty shingle sets yield an empty array (callers
-    must filter; such docs have no content to collide on).
-    """
-    sh = shingles(text, n)
-    return F.when(F.size(sh) > 0, F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])).otherwise(F.array().cast("array<bigint>"))
+    """Column form of the minhash signature (pandas-UDF-backed)."""
+    return make_minhash_udf(num_hashes, n)(text)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
-                      bands: int = 16, n: int = 3) -> DataFrame:
+                      bands: int = 16, n: int = 3,
+                      num_partitions: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
@@ -152,9 +213,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     estimated Jaccard from full-signature agreement.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n)
-    base = (df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-              .filter(F.size("_sig") > 0))
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if num_partitions:
+        # small single-file inputs read as ONE split; spread the
+        # signature computation across the cluster
+        base = base.repartition(num_partitions, "_id")
+    base = (base.withColumn("_sig", make_minhash_udf(num_hashes, n)(
+                F.col(text_col)))
+                .select("_id", "_sig")
+                .filter(F.size("_sig") > 0))
     bandkeys = base.select(
         "_id", "_sig",
         F.explode(F.array(*[
@@ -180,40 +247,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # -------------------------------------------------------------- simhash ---
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens (Charikar 2002 shape).
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash (Charikar 2002): per token, md5-derived 64 bits;
+    per bit, sum of ±1 votes; fingerprint bit = (sum > 0). Vectorized:
+    one md5 per token, then numpy unpackbits/sum/packbits. NULL/empty
+    text → NULL. Same vectorized-UDF rationale as minhash (see above)."""
+    def one(text):
+        if not text or not text.strip():
+            return None
+        toks = _WS_RE.split(text.strip())
+        raw = np.vstack([
+            np.frombuffer(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                          dtype=np.uint8)
+            for t in toks])                              # (n_tokens, 8)
+        bits = np.unpackbits(raw, axis=1).astype(np.int32)   # (n, 64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.packbits((votes > 0).astype(np.uint8))
+        return int(fp.view(">u8")[0].astype(np.uint64).view(np.int64))
+    return texts.map(one)
 
-    For each bit b: sum over tokens of +1 if bit b of xxhash64(token) is
-    set else -1; fingerprint bit b = (sum > 0). Implemented as a single
-    ``F.aggregate`` over the token array carrying a 64-counter array —
-    row-local, no shuffle, no UDF. NULL/empty text → NULL fingerprint.
-    (Bit positions are unrolled as Python ints: pyspark's shift functions
-    take literal shift amounts only.)
-    """
-    toks = tokens(text)
-    counters = F.aggregate(
-        toks,
-        F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(F.xxhash64(t), b)
-                       .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for b in range(64)]),
-            lambda x, y: x + y),
-    )
-    fp = F.lit(0).cast("bigint")
-    for b in range(64):
-        fp = fp.bitwiseOR(
-            F.when(F.element_at(counters, b + 1) > 0,
-                   F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint")))
-    return F.when(F.size(toks) > 0, fp)
+
+def simhash64(text: Column) -> Column:
+    """Column form of the SimHash fingerprint (pandas-UDF-backed)."""
+    return _simhash_udf(text)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 out_col: str = "simhash") -> DataFrame:
+    """Append the 64-bit SimHash fingerprint column."""
+    return df.withColumn(out_col, simhash64(F.col(text_col)))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  num_partitions: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into
@@ -224,9 +293,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    fp = simhash64(F.col(text_col))
-    base = (df.select(F.col(id_col).alias("_id"), fp.alias("_fp"))
-              .filter(F.col("_fp").isNotNull()))
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if num_partitions:
+        base = base.repartition(num_partitions, "_id")
+    base = (base.withColumn("_fp", simhash64(F.col(text_col)))
+            .select("_id", "_fp")
+            .filter(F.col("_fp").isNotNull()))
     keyed = base.select("_id", "_fp", F.explode(F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("_fp"), c * width)

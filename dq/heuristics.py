@@ -69,7 +69,11 @@ def with_heuristics(df: DataFrame, text_col: str = "text",
 
     words = F.when(has_text, F.split(F.trim(text), r"\s+")) \
              .otherwise(F.array().cast("array<string>"))
-    df = df.withColumn("_words", words)
+    # normalize ONCE: the normalized array feeds both the stopword count
+    # and the distinct-token count (one regexp pass per token, not two)
+    df = (df.withColumn("_words", words)
+            .withColumn("_norm", F.transform(F.col("_words"),
+                                             lambda w: _norm_token(w))))
     words = F.col("_words")
     n_words = F.size(words)
 
@@ -82,13 +86,15 @@ def with_heuristics(df: DataFrame, text_col: str = "text",
                           ).otherwise(0)
     symbol_ratio = symbol_count / F.greatest(n_words, F.lit(1))
 
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    # literal map → constant-folded hash lookup per token (vs an O(|stop|)
+    # array scan per token — the hot-path cost at web scale)
+    stop_map = F.create_map(*[x for w in EN_STOPWORDS
+                              for x in (F.lit(w), F.lit(1))])
     stop_count = F.size(F.filter(
-        words, lambda w: F.array_contains(stop_arr, _norm_token(w))))
+        F.col("_norm"), lambda t: F.element_at(stop_map, t).isNotNull()))
     stopword_frac = F.when(n_words > 0, stop_count / n_words).otherwise(0.0)
 
-    distinct_count = F.size(F.array_distinct(
-        F.transform(words, lambda w: _norm_token(w))))
+    distinct_count = F.size(F.array_distinct(F.col("_norm")))
     distinct_ratio = F.when(n_words > 0,
                             distinct_count / n_words).otherwise(0.0)
 
@@ -102,7 +108,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text",
         "stopword_frac": stopword_frac,
         "distinct_ratio": distinct_ratio,
         "alpha_frac": alpha_frac,
-    }).drop("_words")
+    }).drop("_words", "_norm")
 
     rules = {
         "rule_non_empty": has_text & (F.col("n_words") > 0),

@@ -65,10 +65,24 @@ def _trigrams(s: str):
 
 
 class LangIdModel:
-    """Char-trigram profile scorer (fastText-shaped API: predict one label)."""
+    """Char-trigram profile scorer (fastText-shaped API: predict one label).
+
+    Scoring uses a combined index ``trigram -> [logprob per lang]`` so a
+    text costs ONE dict lookup per trigram (not one per language) — the
+    difference between ~7 ms/doc and ~0.5 ms/doc inside the pandas UDF.
+    """
 
     def __init__(self, profiles: dict[str, dict[str, float]]):
         self.profiles = profiles
+        self.langs = list(profiles)
+        self.combined: dict[str, list[float]] = {}
+        all_tris = set()
+        for prof in profiles.values():
+            all_tris.update(prof)
+        for t in all_tris:
+            self.combined[t] = [profiles[lg].get(t, UNK_LOGPROB_FLOOR)
+                                for lg in self.langs]
+        self.floor_vec = [UNK_LOGPROB_FLOOR] * len(self.langs)
 
     @classmethod
     def train(cls, sources: dict[str, list[str]] = None) -> "LangIdModel":
@@ -86,15 +100,23 @@ class LangIdModel:
     def predict(self, text: str | None) -> str:
         if not text:
             return "unk"
-        tris = list(_trigrams(text[:MAX_LANGID_CHARS].lower()))
-        if not tris:
+        s = text[:MAX_LANGID_CHARS].lower()
+        s = " " + s + " "
+        n = len(s) - 2
+        if n <= 0:
             return "unk"
-        best_lang, best_score = "unk", -math.inf
-        for lang, prof in self.profiles.items():
-            s = sum(prof.get(t, UNK_LOGPROB_FLOOR) for t in tris) / len(tris)
-            if s > best_score:
-                best_lang, best_score = lang, s
-        return best_lang if best_score >= UNK_SCORE_CUTOFF else "unk"
+        nlang = len(self.langs)
+        acc = [0.0] * nlang
+        get = self.combined.get
+        floor = self.floor_vec
+        for i in range(n):
+            vec = get(s[i:i + 3], floor)
+            for j in range(nlang):
+                acc[j] += vec[j]
+        best_score = max(acc) / n
+        if best_score < UNK_SCORE_CUTOFF:
+            return "unk"
+        return self.langs[acc.index(max(acc))]
 
 
 class NGramLM:

@@ -567,7 +567,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (sim ≥ 1/3), integer-exact."""
     d = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, "doc_id", "text", n=3,
-                               min_num=1, min_den=3)
+                               min_num=1, min_den=3,
+                               num_partitions=spark.sparkContext.defaultParallelism)
 
 
 ORACLE_JACCARD = """
@@ -603,7 +604,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     exact Jaccard operator in tests/test_dedup_similarity.py."""
     d = _t(spark, sf_dir, "documents")
     return (dedup.minhash_lsh_pairs(d, "doc_id", "text",
-                                    num_hashes=64, bands=16, n=3)
+                                    num_hashes=64, bands=16, n=3,
+                                    num_partitions=spark.sparkContext.defaultParallelism)
             .select("id_a", "id_b", "est_jaccard"))
 
 
@@ -611,12 +613,14 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates (Hamming ≤ 3) — approximate; no SQL
     oracle; validated in tests."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3,
+                               num_partitions=spark.sparkContext.defaultParallelism)
 
 
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query (query set = vec_id < 10)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id")
     queries = (e.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.brute_force_topk(e, queries, k=5)
@@ -647,7 +651,8 @@ FROM pairs QUALIFY rank <= 5
 def q_embedding_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed top-k (scale path) — approximate; no SQL
     oracle; recall vs brute force asserted in tests."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id")
     queries = (e.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.lsh_topk(e, queries, k=5, n_planes=16, bands=8, dim=64)

@@ -166,9 +166,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     a, b = base.alias("a"), base.alias("b")
     return (a.join(b, (F.col("a._bk") == F.col("b._bk"))
                    & (F.col("a._id") < F.col("b._id")))
-            .dropDuplicates(["a._id", "b._id"])
-            .withColumn("cos_sim", dot(F.col("a._v"), F.col("b._v"))
-                        / (F.col("a._n") * F.col("b._n")))
-            .filter(F.col("cos_sim") >= threshold)
             .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"), "cos_sim"))
+                    F.col("b._id").alias("id_b"),
+                    F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
+                    F.col("a._n").alias("_na"), F.col("b._n").alias("_nb"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("cos_sim", dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
