@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media ride as opaque ``binary`` columns with a typed metadata struct —
+the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the codec work itself is stubbed because
+no image/audio library ships in this container:
+
+- ``decode_image`` / ``decode_audio`` raise ``NotImplementedError``
+  unless the optional decoder import succeeds (PIL / soundfile);
+- ``fake_decode_meta`` is the deterministic stand-in the tests and the
+  synthetic corpus use: width/height/duration derived from a stable hash
+  of the bytes, so every partitioning produces identical output.
+
+All bulk operators are ``mapInPandas`` (iterator-of-batches: one model /
+decoder init per PARTITION, not per row — the same executor-lifetime
+amortization the langid/perplexity UDFs get via broadcast).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),      # image|audio|video
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha1", T.StringType()),
+])
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("frame_sha1", T.StringType()),
+])
+
+
+def media_table_schema() -> T.StructType:
+    """Canonical multimodal table shape: id + opaque payload + metadata."""
+    return T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ])
+
+
+def with_media_meta(df: DataFrame, payload_col: str = "payload",
+                    media_type: str = "image",
+                    mime: str = "image/png") -> DataFrame:
+    """Attach the typed metadata struct — pure Column expressions
+    (length / sha1 are JVM built-ins; no decode needed)."""
+    p = F.col(payload_col)
+    return df.withColumn("meta", F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(mime).alias("mime"),
+        F.coalesce(F.length(p).cast("long"), F.lit(0).cast("long"))
+        .alias("n_bytes"),
+        F.sha1(F.coalesce(p, F.lit(b""))).alias("sha1"),
+    ))
+
+
+def _stable_u32(data: bytes, salt: bytes) -> int:
+    return int.from_bytes(hashlib.sha1(salt + data[:64]).digest()[:4], "big")
+
+
+def fake_decode_meta(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Deterministic stand-in for image decode: (width, height, channels)
+    as a pure function of the bytes. Replace with a real decoder by
+    passing ``decoder=`` to :func:`decode_images`."""
+    if payload is None:
+        return None
+    w = 64 + _stable_u32(payload, b"w") % 1984          # 64..2047
+    h = 64 + _stable_u32(payload, b"h") % 1984
+    return (w, h, 3)
+
+
+def real_image_decoder(payload: bytes | None):  # pragma: no cover
+    """PIL-backed decode → (width, height, channels); raises until the
+    container ships PIL (import-gated, NOT silently faked)."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL; this container has no image "
+            "libraries - use fake_decode_meta or install pillow")
+    import io
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(im.getbands()))
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload",
+                  decoder=fake_decode_meta) -> DataFrame:
+    """Append ``img`` struct (width/height/channels) via ``mapInPandas``.
+
+    Iterator-of-batches form: per-partition setup happens once (a real
+    decoder would open its codec context here), then each Arrow batch is
+    processed vectorized. Output schema = input schema + ``img`` struct,
+    so the operator is schema-stable for Catalyst.
+    """
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("img", IMAGE_META_SCHEMA)])
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder                 # per-partition init point
+        for pdf in batches:
+            metas = [dec(p) for p in pdf[payload_col]]
+            pdf = pdf.copy()
+            pdf["img"] = [
+                None if m is None
+                else {"width": m[0], "height": m[1], "channels": m[2]}
+                for m in metas]
+            yield pdf[names]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int,
+                payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing: emits a deterministic surrogate payload
+    (sha1 of original + target dims) with the same schema a real resize
+    would produce; the pixel work is the stub."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+    ])
+    names = [f.name for f in out_schema.fields]
+    tag = f"{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = [
+                None if p is None else hashlib.sha1(tag + p[:64]).digest()
+                for p in pdf[payload_col]]
+            pdf["resized_w"] = np.int32(width)
+            pdf["resized_h"] = np.int32(height)
+            yield pdf[names]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  duration_ms_col: str | None = None,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    Duration comes from ``duration_ms_col`` if given, else a
+    deterministic fake derived from the payload bytes. A real
+    implementation swaps the per-frame sha1 surrogate for decoded frame
+    tensors; the fan-out shape (explode to frame grain, frame_ts
+    monotone per media) is what downstream operators contract on.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    continue
+                if duration_ms_col:
+                    dur = int(r[duration_ms_col])
+                else:
+                    dur = 1000 + _stable_u32(p, b"dur") % 29000
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    rows.append({
+                        "media_id": r[id_col],
+                        "frame_index": i,
+                        "frame_ts_ms": ts,
+                        "frame_sha1": hashlib.sha1(
+                            p[:64] + ts.to_bytes(8, "big")).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def synthetic_media(spark, n_rows: int, num_partitions: int | None = None
+                    ) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes), same
+    pure-function-of-id scheme as dq.synth.webpages."""
+    df = spark.range(0, n_rows, 1,
+                     num_partitions
+                     or spark.sparkContext.defaultParallelism)
+    payload = F.encode(
+        F.concat(F.lit("MEDIA"), F.sha2(F.col("id").cast("string"), 256)),
+        "UTF-8").cast("binary")
+    df = df.select(F.col("id").alias("media_id"),
+                   payload.alias("payload"))
+    return with_media_meta(df)

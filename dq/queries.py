@@ -702,6 +702,26 @@ def q_quality_filter_pipeline(spark, sf_dir):
             .withColumn("dropped", F.col("docs") - F.col("kept")))
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthetic media table (binary
+    payload + typed meta struct) → mapInPandas decode (deterministic
+    stub) → per-bucket aggregation. Rows-only (media is not an oracle
+    table; determinism across partitionings is asserted in
+    tests/test_multimodal.py)."""
+    from dq import multimodal as mm
+    media = mm.synthetic_media(spark, 1000)
+    decoded = mm.decode_images(media)
+    return (decoded
+            .withColumn("aspect_bucket",
+                        (F.col("img.width") * 4 / F.col("img.height"))
+                        .cast("int"))
+            .groupBy("aspect_bucket")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("meta.n_bytes").alias("total_bytes"),
+                 F.min("img.width").alias("min_width"),
+                 F.max("img.height").alias("max_height")))
+
+
 def q_scrubbed_fingerprints(spark, sf_dir):
     """Scrub stage plumbing: per-doc md5 fingerprint of scrubbed text.
     The corpus has no planted PII, so scrub is the identity mapping and
@@ -747,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "quality_filter_pipeline": q_quality_filter_pipeline,
+    "multimodal_decode": q_multimodal_decode,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
 
