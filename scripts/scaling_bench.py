@@ -2,10 +2,22 @@
 
 North rule (BASELINE.json): "throughput scaling efficiency >= 0.8 between
 N- and 4N-executor clusters", evidenced in-sandbox as two parallelism
-levels on one machine (local[8] vs local[32] — 32 physical cores, no SMT)
-over the SAME materialized input. Each level runs in its own subprocess
-(clean JVM, no cross-contamination), reps with best-of to shed page-cache
-warmup.
+levels on one machine (32 physical cores, no SMT) over the SAME
+materialized input.
+
+Measurement protocol (each detail exists because the naive version was
+measured to lie):
+- **CPU affinity pins the whole process tree** (`taskset -c 0-(N-1)`).
+  ``local[N]`` alone only caps Spark *task* threads — pandas-UDF worker
+  processes run beside them, so an un-pinned "8-core" run actually
+  consumes ~2-3x that many cores and the comparison flatters N.
+- **Fresh JVM per level** (subprocess), **warm-up run first** (first
+  execution of the plan pays JIT/codegen/python-worker spin-up that is
+  amortized to nothing at production scale: measured 201 s cold vs
+  12 s warm for one stage at 32 threads), then best-of-``reps``.
+- **Levels interleaved A/B per rep pair** so slow drift of the shared
+  sandbox host (CPU steal varies over minutes) cancels instead of
+  biasing one side.
 
 Writes the result table to BENCH.md and prints one JSON line.
 
@@ -21,11 +33,14 @@ import sys
 
 sys.path.insert(0, ".")
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 N_HIGH = N_LOW * 4
-PAGES = "/tmp/dq_scaling_pages"
+# input must be big enough that parallel work dwarfs per-job fixed cost
+# (driver orchestration, stage scheduling): at 200k docs those ~8 s of
+# serial overhead cap measurable speedup at ~1.5x regardless of engine
+PAGES = f"/tmp/dq_scaling_pages_{N_DOCS}"
 
 CHILD = r"""
 import sys, time, json, datetime as dt
@@ -33,21 +48,33 @@ sys.path.insert(0, ".")
 from dq.session import get_spark
 from dq.pipeline import run_pipeline
 
-cores, pages_path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cores, pages_path = int(sys.argv[1]), sys.argv[2]
 spark = get_spark("scale", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
-best = float("inf")
-for rep in range(reps):
+
+
+def one_run(tag, frac=None):
     pages = spark.read.parquet(pages_path)
+    if frac:
+        pages = pages.sample(frac, seed=1)
     t0 = time.time()
-    out = run_pipeline(spark, pages, f"scale-{cores}-{rep}",
-                       dt.datetime(2025, 10, 3), store=None, resume=False)
+    out = run_pipeline(spark, pages, tag, dt.datetime(2025, 10, 3),
+                       store=None, resume=False)
     for frame in ("docs", "metrics", "lineage"):
         out[frame].write.format("noop").mode("overwrite").save()
-    best = min(best, time.time() - t0)
+    sec = time.time() - t0
     out["scored"].unpersist()
+    return sec
+
+
+one_run("warmup", frac=0.1)             # JIT/codegen/worker spin-up
+print("READY", flush=True)
+for line in sys.stdin:                   # parent orchestrates interleaving
+    if line.strip() == "quit":
+        break
+    sec = one_run(line.strip())
+    print("RESULT " + json.dumps({"cores": cores, "sec": sec}), flush=True)
 spark.stop()
-print("RESULT " + json.dumps({"cores": cores, "sec": best}))
 """
 
 
@@ -74,13 +101,68 @@ def run_child(cmd: list[str]) -> dict | None:
     raise SystemExit(f"child failed: {cmd[:2]}")
 
 
+class Level:
+    """A pinned, warmed, long-lived child that runs jobs on demand."""
+
+    def __init__(self, cores: int):
+        self.cores = cores
+        cpuset = f"0-{cores - 1}"
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", cpuset, "python", "-c", CHILD,
+             str(cores), PAGES],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            bufsize=1)
+        while True:                      # wait for warm-up
+            line = self.proc.stdout.readline()
+            if not line:
+                raise SystemExit(f"child {cores} died during warmup")
+            if line.startswith("READY"):
+                break
+
+    def run(self, tag: str) -> float:
+        self.proc.stdin.write(tag + "\n")
+        self.proc.stdin.flush()
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise SystemExit(f"child {self.cores} died")
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])["sec"]
+
+    def stop(self):
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:  # noqa: BLE001
+            self.proc.kill()
+
+
+def probe() -> float:
+    """Single-core speed probe — records host throttle state alongside
+    the measurement (the sandbox host's effective clock varies ~2x)."""
+    import time
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(PAGES, "_SUCCESS")):
         materialize()
-    results = {}
-    for cores in (N_LOW, N_HIGH):
-        r = run_child(["python", "-c", CHILD, str(cores), PAGES, str(REPS)])
-        results[cores] = r["sec"]
+    probe_before = probe()
+    low, high = Level(N_LOW), Level(N_HIGH)
+    times = {N_LOW: [], N_HIGH: []}
+    for rep in range(REPS):              # interleaved A/B pairs
+        times[N_LOW].append(low.run(f"low-{rep}"))
+        times[N_HIGH].append(high.run(f"high-{rep}"))
+    low.stop()
+    high.stop()
+    results = {c: min(v) for c, v in times.items()}
+    sys.stderr.write(f"all times: {times}\n")
+    sys.stderr.write(f"probe before: {probe_before}s, after: {probe()}s\n")
 
     thr = {c: N_DOCS / s for c, s in results.items()}
     eff = (thr[N_HIGH] / thr[N_LOW]) / (N_HIGH / N_LOW)
@@ -99,8 +181,11 @@ def main() -> None:
         "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
         "Same end-to-end pipeline job (heuristics + langid + perplexity +\n"
         "dedup + scrub + lineage/metrics) over the same materialized\n"
-        f"{N_DOCS:,}-doc webpages input, each level a fresh JVM, best of\n"
-        f"{REPS} reps:\n\n"
+        f"{N_DOCS:,}-doc webpages input. Each level is a fresh JVM pinned\n"
+        "with `taskset` to exactly that many physical cores (covering\n"
+        "Spark task threads AND pandas-UDF worker processes - `local[N]`\n"
+        "alone does not bound the workers), warmed up first, then\n"
+        f"interleaved A/B x{REPS} reps (best-of) so host drift cancels:\n\n"
         "| cores | wall sec | docs/sec |\n|---|---|---|\n"
         f"| local[{N_LOW}] | {summary['low_sec']} | {summary['low_docs_per_sec']} |\n"
         f"| local[{N_HIGH}] | {summary['high_sec']} | {summary['high_docs_per_sec']} |\n\n"
