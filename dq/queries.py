@@ -23,6 +23,7 @@ order-insensitive value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -322,6 +323,54 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY n_name
+"""
+
+
+def q_table_checks(spark, sf_dir):
+    """The reference's six-check contract (SURVEY §2.10) end-to-end over
+    the documents table, one row per check. Expected schema deliberately
+    includes the reference's mandatory ``date_insertion`` column (absent
+    here) so presence/freshness FAIL while null/count/types/uniqueness
+    PASS — both branches of every check exercised under the oracle."""
+    import dq.rules as rules
+
+    d = _t(spark, sf_dir, "documents")
+    expected = {"doc_id": "bigint", "text": "string", "lang": "string",
+                "source": "string", "n_chars": "bigint",
+                "date_insertion": "timestamp"}
+    results = rules.run_all_checks(
+        d, "testdb", "documents", expected,
+        run_date=dt.date.fromisoformat(RUN_DATE))
+    return spark.createDataFrame(
+        [(r["test_name"], r["passed"], r["dimension"]) for r in results],
+        "test_name string, passed boolean, dimension string")
+
+
+ORACLE_TABLE_CHECKS = """
+WITH stats AS (
+  SELECT count(*) AS total,
+         count(doc_id) AS nn_doc_id,
+         sum(CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END) AS good_text,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END) AS good_lang,
+         sum(CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS good_source,
+         count(n_chars) AS nn_n_chars,
+         count(DISTINCT (doc_id, text, lang, source, n_chars)) AS distinct_rows
+  FROM documents
+)
+SELECT 'null_columns_check' AS test_name,
+       (nn_doc_id > 0 AND good_text > 0 AND good_lang > 0
+        AND good_source > 0 AND nn_n_chars > 0) AS passed,
+       'completeness' AS dimension FROM stats
+UNION ALL
+SELECT 'row_count_check', total >= 2, 'completeness' FROM stats
+UNION ALL
+SELECT 'schema_presence_check', FALSE, 'consistency' FROM stats
+UNION ALL
+SELECT 'schema_types_check', TRUE, 'consistency' FROM stats
+UNION ALL
+SELECT 'date_insertion_freshness_check', FALSE, 'timeliness' FROM stats
+UNION ALL
+SELECT 'row_uniqueness_check', distinct_rows = total, 'uniqueness' FROM stats
 """
 
 
@@ -751,6 +800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcount_trend": q_rowcount_trend,
     "topk_recent": q_topk_recent,
     "env_compare": q_env_compare,
+    "table_checks": q_table_checks,
     "summary_banding": q_summary_banding,
     "rollup_scores": q_rollup_scores,
     "customers_without_orders": q_customers_without_orders,
@@ -779,6 +829,7 @@ ORACLES: dict[str, str] = {
     "rowcount_trend": ORACLE_TREND,
     "topk_recent": ORACLE_TOPK,
     "env_compare": ORACLE_ENV_COMPARE,
+    "table_checks": ORACLE_TABLE_CHECKS,
     "summary_banding": ORACLE_BANDING,
     "rollup_scores": ORACLE_ROLLUP,
     "customers_without_orders": ORACLE_ANTI,
