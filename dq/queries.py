@@ -374,6 +374,35 @@ SELECT 'row_uniqueness_check', distinct_rows = total, 'uniqueness' FROM stats
 """
 
 
+def q_dimension_scores(spark, sf_dir):
+    """A9 dimension rollup (storage/postgres_storage.py:326-400 analog):
+    per-dimension pass/fail tallies + integer-exact score over the
+    six-check results of q_table_checks."""
+    results = q_table_checks(spark, sf_dir)
+    agg = (results.groupBy("dimension")
+           .agg(F.count(F.lit(1)).alias("total_tests"),
+                F.sum(F.col("passed").cast("long")).alias("passed_tests")))
+    return (agg.withColumn("failed_tests",
+                           F.col("total_tests") - F.col("passed_tests"))
+            .withColumn("score_x100",
+                        F.floor(F.col("passed_tests") * 10000
+                                / F.col("total_tests")).cast("bigint")))
+
+
+ORACLE_DIMENSION_SCORES = f"""
+WITH checks AS ({ORACLE_TABLE_CHECKS}),
+agg AS (
+  SELECT dimension, count(*) AS total_tests,
+         sum(CASE WHEN passed THEN 1 ELSE 0 END) AS passed_tests
+  FROM checks GROUP BY dimension
+)
+SELECT dimension, total_tests, passed_tests,
+       total_tests - passed_tests AS failed_tests,
+       CAST(floor(passed_tests * 10000 / total_tests) AS BIGINT) AS score_x100
+FROM agg
+"""
+
+
 # =====================================================================
 # Analytics queries (join/agg coverage at TPC-H shape)
 # =====================================================================
@@ -801,6 +830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_recent": q_topk_recent,
     "env_compare": q_env_compare,
     "table_checks": q_table_checks,
+    "dimension_scores": q_dimension_scores,
     "summary_banding": q_summary_banding,
     "rollup_scores": q_rollup_scores,
     "customers_without_orders": q_customers_without_orders,
@@ -830,6 +860,7 @@ ORACLES: dict[str, str] = {
     "topk_recent": ORACLE_TOPK,
     "env_compare": ORACLE_ENV_COMPARE,
     "table_checks": ORACLE_TABLE_CHECKS,
+    "dimension_scores": ORACLE_DIMENSION_SCORES,
     "summary_banding": ORACLE_BANDING,
     "rollup_scores": ORACLE_ROLLUP,
     "customers_without_orders": ORACLE_ANTI,
