@@ -11,11 +11,15 @@ this module is the thin adapter the driver imports.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dq.queries import ORACLES, QUERIES, q_quality_filter_pipeline
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dq.queries import ORACLES, QUERIES, q_quality_filter_pipeline  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -39,8 +39,37 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 RUN_DATE = "2024-01-31"          # injected clock for freshness semantics
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_dq_shipped(spark: SparkSession) -> None:
+    """Make the ``dq`` package importable on executors regardless of the
+    driver's cwd (broadcast model unpickling imports dq.models inside
+    python workers). Zips the package once per process and registers it
+    via ``addPyFile`` — the same mechanism a spark-submit --py-files
+    deployment uses."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"dq_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_dq_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
