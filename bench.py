@@ -74,6 +74,8 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
+    from dq.queries import ensure_dq_shipped
+    ensure_dq_shipped(spark)    # workers need dq importable from any cwd
 
     timings: dict[str, float] = {}
     total = 0.0

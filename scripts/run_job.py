@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     from dq.session import get_spark
 
     spark = get_spark("dq-quality-filter")
+    try:  # no-op under --py-files; covers bare local runs from any cwd
+        from dq.queries import ensure_dq_shipped
+        ensure_dq_shipped(spark)
+    except Exception:  # noqa: BLE001
+        pass
     run_date = dt.date.fromisoformat(args.run_date)
     cfg = PipelineConfig(
         accept_langs=tuple(args.accept_langs.split(",")),
