@@ -142,14 +142,23 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # (Carter-Wegman: perm_i(s) = h1(s) + i*h2(s) mod 2^64, h1/h2 = the two
 # halves of md5) costs ~0.1 ms/doc and is deterministic everywhere.
 
-_WS_RE = re.compile(r"\s+")
+# mirror the JVM tokenizer exactly: Java regex \s is ASCII-only
+# ([ \t\n\x0B\f\r]) and String.trim strips chars <= U+0020 — Python's
+# default Unicode \s / str.strip() would tokenize NBSP/ideographic-space
+# docs differently from the Column-expression operators these UDFs mirror
+_WS_RE = re.compile(r"\s+", re.ASCII)
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
+def _java_strip(text: str) -> str:
+    return text.strip(_JAVA_TRIM)
 
 
 def _py_shingles(text: str | None, n: int) -> list[str]:
     """Python mirror of :func:`shingles` (same tokens, same separator)."""
-    if not text or not text.strip():
+    if not text or not _java_strip(text):
         return []
-    toks = _WS_RE.split(text.strip())
+    toks = _WS_RE.split(_java_strip(text))
     if len(toks) < n:
         return []
     return list({SHINGLE_SEP.join(toks[i:i + n])
@@ -254,9 +263,9 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
     one md5 per token, then numpy unpackbits/sum/packbits. NULL/empty
     text → NULL. Same vectorized-UDF rationale as minhash (see above)."""
     def one(text):
-        if not text or not text.strip():
+        if not text or not _java_strip(text):
             return None
-        toks = _WS_RE.split(text.strip())
+        toks = _WS_RE.split(_java_strip(text))
         raw = np.vstack([
             np.frombuffer(hashlib.md5(t.encode("utf-8")).digest()[:8],
                           dtype=np.uint8)

@@ -94,8 +94,11 @@ def with_heuristics(df: DataFrame, text_col: str = "text",
     # array scan per token — the hot-path cost at web scale)
     stop_map = F.create_map(*[x for w in EN_STOPWORDS
                               for x in (F.lit(w), F.lit(1))])
+    # try_element_at: element_at throws MAP_KEY_DOES_NOT_EXIST under ANSI
+    # mode (Spark 4 default); try_ variant has identical lookup semantics
+    # but returns NULL on a miss in every mode
     stop_count = F.size(F.filter(
-        F.col("_norm"), lambda t: F.element_at(stop_map, t).isNotNull()))
+        F.col("_norm"), lambda t: F.try_element_at(stop_map, t).isNotNull()))
     stopword_frac = F.when(n_words > 0, stop_count / n_words).otherwise(0.0)
 
     distinct_count = F.size(F.array_distinct(F.col("_norm")))

@@ -39,31 +39,44 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 RUN_DATE = "2024-01-31"          # injected clock for freshness semantics
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_dq_shipped(spark: SparkSession) -> None:
     """Make the ``dq`` package importable on executors regardless of the
     driver's cwd (broadcast model unpickling imports dq.models inside
-    python workers). Zips the package once per process and registers it
-    via ``addPyFile`` — the same mechanism a spark-submit --py-files
-    deployment uses."""
-    key = id(spark.sparkContext)
+    python workers). Zips the package once per app and registers it via
+    ``addPyFile`` — the same mechanism a spark-submit --py-files
+    deployment uses. Memo key is the applicationId (stable per context;
+    ``id()`` could be reused after a context restart) and the zip is
+    named by a content hash so stale archives are never re-shipped."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
+    import hashlib
     import os
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", f"dq_pyfiles_{os.getpid()}.zip")
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                members.append((full, rel))
+    h = hashlib.sha256()
+    for full, rel in members:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zip_path = os.path.join("/tmp", f"dq_pyfiles_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in members:
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)
 
@@ -71,6 +84,10 @@ def ensure_dq_shipped(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_dq_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver may hand us an ANSI-on session (Spark 4 default); the
+    # reference's pandas semantics are non-ANSI (coercing casts, null on
+    # bad parse) so every catalog query pins it off
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -100,12 +117,12 @@ def q_null_empty_profile(spark, sf_dir):
 
 ORACLE_NULL_EMPTY = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-       sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS empty_text,
-       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
-       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
-       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_n_chars,
-       sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS nonnull_text
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+       CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars,
+       CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull_text
 FROM documents
 """
 
@@ -207,7 +224,7 @@ WITH daily AS (
   FROM recent
 ), agg AS (
   SELECT event_type, count(*) AS n_records,
-         sum(inc) AS inc_sum, count(inc) AS inc_n,
+         CAST(sum(inc) AS BIGINT) AS inc_sum, count(inc) AS inc_n,
          max_by(row_count, d) AS latest_count
   FROM incs GROUP BY event_type
 )
@@ -294,7 +311,7 @@ ORACLE_BANDING = """
 WITH agg AS (
   SELECT l_returnflag, l_linestatus,
          count(*) AS total_tests,
-         sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS passed_tests
+         CAST(sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS passed_tests
   FROM lineitem GROUP BY 1, 2
 )
 SELECT l_returnflag, l_linestatus, total_tests, passed_tests,
@@ -324,7 +341,7 @@ def q_rollup_scores(spark, sf_dir):
 
 ORACLE_ROLLUP = """
 SELECT r_name, n_name, count(*) AS suppliers,
-       sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS positive_bal
+       CAST(sum(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
@@ -422,7 +439,7 @@ ORACLE_DIMENSION_SCORES = f"""
 WITH checks AS ({ORACLE_TABLE_CHECKS}),
 agg AS (
   SELECT dimension, count(*) AS total_tests,
-         sum(CASE WHEN passed THEN 1 ELSE 0 END) AS passed_tests
+         CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS passed_tests
   FROM checks GROUP BY dimension
 )
 SELECT dimension, total_tests, passed_tests,
@@ -547,7 +564,7 @@ ORACLE_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents_sum
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -564,7 +581,7 @@ def q_json_extract(spark, sf_dir):
 
 ORACLE_JSON = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_sum,
        max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_max,
        count(*) AS n
 FROM events GROUP BY event_type
@@ -597,7 +614,7 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
        coalesce(length(text), 0) AS n_chars_actual,
-       coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS token_len_sum,
+       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_len_sum,
        md5(trim(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fingerprint
 FROM t
 """
@@ -630,11 +647,11 @@ WITH t AS (
   FROM t
 )
 SELECT source, count(*) AS docs,
-       sum(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS pass_min_tokens,
-       sum(CASE WHEN lensum * 10 >= 30 * n AND lensum * 10 <= 120 * n AND n > 0
-                THEN 1 ELSE 0 END) AS pass_mean_len,
-       sum(CASE WHEN nd * 100 >= 20 * n AND n > 0 THEN 1 ELSE 0 END) AS pass_distinct,
-       sum(n) AS total_tokens
+       CAST(sum(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS pass_min_tokens,
+       CAST(sum(CASE WHEN lensum * 10 >= 30 * n AND lensum * 10 <= 120 * n AND n > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_len,
+       CAST(sum(CASE WHEN nd * 100 >= 20 * n AND n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_distinct,
+       CAST(sum(n) AS BIGINT) AS total_tokens
 FROM s GROUP BY source
 """
 
@@ -658,9 +675,9 @@ def q_pii_scan(spark, sf_dir):
 
 ORACLE_PII = """
 SELECT source,
-       sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS email_hits,
-       sum(len(regexp_extract_all(text, '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))) AS ipv4_hits,
-       sum(len(regexp_extract_all(text, '[0-9]'))) AS digit_chars,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS email_hits,
+       CAST(sum(len(regexp_extract_all(text, '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))) AS BIGINT) AS ipv4_hits,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS digit_chars,
        count(*) AS docs
 FROM documents GROUP BY source
 """

@@ -6,6 +6,13 @@ row count, column names, and an order-insensitive value hash (columns
 sorted by name, rows sorted, values stringified). Exit 0 iff everything
 matches.
 
+CRITICAL: both sides are materialized through PANDAS (``sdf.toPandas()``
+and ``con.execute(sql).df()``) because that is how the driver does it —
+a DuckDB HUGEINT (the result type of ``sum()`` over integers) lands as
+float64 via ``.df()`` ('123.0') while a BIGINT lands as int64 ('123'),
+so comparing ``fetchall()`` Python ints would hide exactly the dtype
+artifacts the driver's value-hash trips on (round-1 VERDICT §wrong-2).
+
 Usage:  python scripts/parity.py [sf_dir] [query ...]
 """
 
@@ -15,6 +22,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,22 +32,36 @@ from dq.session import get_spark  # noqa: E402
 
 
 def canon(val):
-    if val is None:
+    """Stringify one pandas-materialized value the way the driver's
+    order-insensitive hash sees it (numpy scalars included)."""
+    if val is None or val is pd.NaT:
         return "NULL"
-    if isinstance(val, bool):
-        return "true" if val else "false"
-    if isinstance(val, float):
-        if math.isnan(val):
+    if isinstance(val, (bool, np.bool_)):
+        return "true" if bool(val) else "false"
+    if isinstance(val, (float, np.floating)):
+        f = float(val)
+        if math.isnan(f):
             return "NaN"
-        return repr(val)
-    return str(val)
+        return repr(f)
+    if isinstance(val, np.integer):
+        return str(int(val))
+    # normalize date-vs-midnight-timestamp (Spark DateType materializes
+    # as datetime.date objects, DuckDB DATE as datetime64 — the driver's
+    # hash treats these as equal per round-1 results)
+    s = str(val)
+    if isinstance(val, (pd.Timestamp,)) or "datetime" in type(val).__name__:
+        if s.endswith(" 00:00:00"):
+            return s[:-9]
+    return s
 
 
-def frame_key(cols: list[str], rows: list[tuple]) -> tuple:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    body = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return tuple(names), body
+def pdf_key(pdf: pd.DataFrame) -> tuple:
+    """(sorted column names, sorted canonical rows) for a pandas frame."""
+    cols = sorted(pdf.columns)
+    body = sorted(
+        tuple(canon(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None))
+    return tuple(cols), body
 
 
 def main() -> int:
@@ -55,29 +78,25 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL  {name}: spark error {exc}")
             continue
         sql = ORACLES.get(name)
         if sql is None:
-            print(f"ok    {name}: rows-only ({len(srows)} rows)")
-            if len(srows) == 0 and name != "simhash_pairs":
+            print(f"ok    {name}: rows-only ({len(spdf)} rows)")
+            if len(spdf) == 0 and name != "simhash_pairs":
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(sql).df()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {exc}"))
             print(f"FAIL  {name}: oracle error {exc}")
             continue
-        sk, sb = frame_key(scols, srows)
-        ok_, ob = frame_key(ocols, orows)
+        sk, sb = pdf_key(spdf)
+        ok_, ob = pdf_key(opdf)
         if sk != ok_:
             failures.append((name, f"schema {sk} vs {ok_}"))
             print(f"FAIL  {name}: columns {sk} vs {ok_}")
@@ -88,8 +107,12 @@ def main() -> int:
             continue
         if sb != ob:
             diff = [(a, b) for a, b in zip(sb, ob) if a != b][:3]
+            sdt = {c: str(spdf[c].dtype) for c in spdf.columns}
+            odt = {c: str(opdf[c].dtype) for c in opdf.columns}
             failures.append((name, f"values differ: {diff}"))
-            print(f"FAIL  {name}: first diffs {diff}")
+            print(f"FAIL  {name}: first diffs {diff}\n"
+                  f"      spark dtypes  {sdt}\n"
+                  f"      oracle dtypes {odt}")
             continue
         print(f"ok    {name}: {len(sb)} rows exact-match")
 
