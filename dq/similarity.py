@@ -2,29 +2,40 @@
 
 Two paths, per the training-data-pipeline requirement:
 
-- **Brute-force cosine top-k** — the exactness baseline: broadcast the
-  (small) query set against the corpus, score with pure Column math
-  (``F.zip_with`` dot product + precomputed norms), take top-k per query
-  with a window. Cost O(|corpus| × |queries|) but embarrassingly
-  parallel and shuffle-free until the final tiny top-k aggregation.
-- **Hyperplane-LSH bucketed top-k** — the scale path: sign-bit signature
-  against ``n_planes`` deterministic (seeded, no wall clock) random
-  hyperplanes; corpus and queries join on band keys so each query only
-  scores its collision set. Recall < 1 by design; the brute-force path
-  is the oracle it is validated against (tests/test_dedup_similarity).
+- **Brute-force cosine top-k** — the exactness baseline: the (small,
+  bounded) query set is collected and broadcast as a numpy matrix; the
+  corpus streams through ``mapInPandas`` where each Arrow batch scores
+  ALL queries with one ``C @ Q.T`` matmul and emits only its per-batch
+  top-k rows per query. The final window therefore ranks
+  O(n_batches × |queries| × k) rows, not |corpus| × |queries| — the
+  partial-top-k shape that survives a 100× corpus.
+- **Hyperplane-LSH bucketed top-k** — the scale path for large query
+  sets: sign-bit signatures against ``n_planes`` seeded Gaussian
+  hyperplanes, computed for a whole Arrow batch with a single
+  ``M @ planes.T`` matmul inside a pandas UDF; corpus and queries join
+  on band keys so each query only scores its collision set. Recall < 1
+  by design; the brute-force path is the oracle it is validated against
+  (tests/test_dedup_similarity.py).
 
-All math is double-precision Column arithmetic — sequential fold over
-the vector (deterministic order), so results are bit-reproducible across
-partitionings and engines.
+Why pandas UDFs and not Column higher-order functions: interpreted HOF
+lambdas (``F.aggregate`` folds) never enter whole-stage codegen and
+measured ~400x slower than numpy over Arrow batches for exactly this
+signature/dot-product work (round-1 bench: HOF-based LSH was 4x slower
+than brute force; see dq/dedup.py minhash section for the same finding).
+The Column helpers ``dot``/``l2_norm``/``cosine`` are kept for small
+frames and oracle parity work.
 """
 
 from __future__ import annotations
 
-import math
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _to_double(vec: Column) -> Column:
@@ -32,7 +43,8 @@ def _to_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (deterministic summation order)."""
+    """Sequential-fold dot product (deterministic summation order).
+    Interpreted HOF — fine for small frames / oracles, not hot paths."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -47,31 +59,74 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _stack(series: pd.Series) -> np.ndarray:
+    """Arrow list column → (n, dim) float64 matrix."""
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
     """Exact cosine top-k per query.
 
     Output: (query_id, vec_id, cos_sim, rank). Self-matches (same id)
-    are excluded. Ties broken by ascending corpus id — fully
-    deterministic. The broadcast keeps the big side un-shuffled; the
-    only shuffle is the per-query window over |queries| × |corpus| rows
-    — at scale, pre-aggregate with a partial top-k per partition
-    (``mapInPandas`` heap) before the window if |queries| is large.
+    are excluded; ties broken by ascending corpus id — fully
+    deterministic. The query set is collected/broadcast (it must be
+    small — thousands, not millions; use :func:`lsh_topk` beyond that).
+    Per Arrow batch we emit only the batch-local top-k per query under
+    the SAME total order the final window uses (desc score, asc id), so
+    the partial pass is lossless and the window input is tiny.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      _to_double(F.col(vec_col)).alias("_cv"),
-                      l2_norm(_to_double(F.col(vec_col))).alias("_cn"))
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       _to_double(F.col(vec_col)).alias("_qv"),
-                       l2_norm(_to_double(F.col(vec_col))).alias("_qn"))
-    scored = (c.crossJoin(F.broadcast(q))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("cos_sim",
-                          dot(F.col("_cv"), F.col("_qv"))
-                          / (F.col("_cn") * F.col("_qn"))))
+    spark = corpus.sparkSession
+    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("qv")).toPandas())
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, vec_id {id_type}, cos_sim double"
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = q_pdf["qid"].to_numpy()
+    qmat = _stack(q_pdf["qv"])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = _stack(pdf[vec_col])
+            cids = pdf[id_col].to_numpy()
+            cnorm = np.linalg.norm(cmat, axis=1)
+            # one matmul scores the whole batch against every query
+            scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(b_qids)):
+                s = scores[:, j]
+                keep = np.nonzero(cids != b_qids[j])[0]
+                if keep.size == 0:
+                    continue
+                if keep.size > k:
+                    # kth-largest threshold, then take every row >= it so
+                    # boundary ties survive to the exact global tie-break
+                    kth = np.partition(s[keep], keep.size - k)[keep.size - k]
+                    keep = keep[s[keep] >= kth]
+                order = np.lexsort((cids[keep], -s[keep]))[:max(k, 1)]
+                sel = keep[order][:k]
+                out_q.append(np.full(sel.size, b_qids[j]))
+                out_c.append(cids[sel])
+                out_s.append(s[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_c),
+                "cos_sim": np.concatenate(out_s),
+            })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cos_sim", "rank"))
 
@@ -83,58 +138,186 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]
             for _ in range(n_planes)]
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit p = (vec · plane_p) >= 0. Returns bigint."""
-    v = _to_double(vec)
-    bits = []
-    for p, plane in enumerate(planes):
-        lits = F.array(*[F.lit(x) for x in plane])
-        bits.append(F.when(dot(v, lits) >= 0,
-                           F.shiftleft(F.lit(1).cast("bigint"), p))
-                    .otherwise(F.lit(0).cast("bigint")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+def make_sig_norm_udf(planes: list[list[float]]):
+    """Series[array<float>] → struct(sig bigint, norm double) pandas UDF.
+
+    One ``M @ planes.T`` matmul per Arrow batch produces every row's
+    sign-bit signature; bit p = (vec · plane_p) >= 0. Replaces the
+    round-1 per-plane interpreted ``F.aggregate`` folds (16 interpreted
+    dot products per row) that made the LSH path slower than brute force.
+    """
+    pmat = np.asarray(planes, dtype=np.float64)            # (P, dim)
+    weights = (np.uint64(1) << np.arange(pmat.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf("sig bigint, norm double")
+    def sig_norm(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"sig": pd.Series([], dtype="int64"),
+                                 "norm": pd.Series([], dtype="float64")})
+        m = _stack(vecs)
+        bits = (m @ pmat.T) >= 0                           # (n, P)
+        sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.DataFrame({"sig": sig.astype(np.int64),
+                             "norm": np.linalg.norm(m, axis=1)})
+
+    return sig_norm
+
+
+@F.pandas_udf(T.DoubleType())
+def _cos_pairs(a: pd.Series, b: pd.Series,
+               na: pd.Series, nb: pd.Series) -> pd.Series:
+    """Row-wise cosine for candidate pairs: one einsum per Arrow batch."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    am, bm = _stack(a), _stack(b)
+    num = np.einsum("ij,ij->i", am, bm)
+    return pd.Series(num / (na.to_numpy() * nb.to_numpy()))
+
+
+def _banded(df: DataFrame, idc: str, vec_col: str, prefix: str,
+            planes: list[list[float]], bands: int) -> DataFrame:
+    """id/vec/norm + exploded (band, chunk_value) keys."""
+    n_planes = len(planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sn = make_sig_norm_udf(planes)
+    return (df.select(F.col(idc).alias(f"{prefix}_id"),
+                      F.col(vec_col).alias(f"{prefix}_v"),
+                      sn(F.col(vec_col)).alias("_sn"))
+            .select(f"{prefix}_id", f"{prefix}_v",
+                    F.col("_sn.norm").alias(f"{prefix}_n"),
+                    F.explode(F.array(*[
+                        F.struct(F.lit(b).alias("band"),
+                                 F.shiftrightunsigned(F.col("_sn.sig"), b * width)
+                                 .bitwiseAND(F.lit(mask)).alias("cv"))
+                        for b in range(bands)])).alias("_bk")))
+
+
+def _chunk_values(sigs: np.ndarray, bands: int, width: int) -> np.ndarray:
+    """(n,) uint64 signatures → (n, bands) chunk values."""
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+    mask = np.uint64((1 << width) - 1)
+    return (sigs[:, None] >> shifts[None, :]) & mask
+
+
+def _lsh_topk_broadcast(corpus: DataFrame, q_pdf: pd.DataFrame, k: int,
+                        id_col: str, vec_col: str,
+                        planes: list[list[float]], bands: int) -> DataFrame:
+    """Map-side LSH top-k for a broadcastable query set.
+
+    One ``mapInPandas`` pass over the corpus: batch signatures via one
+    matmul, collision mask against the broadcast query chunk values
+    (same any-shared-band candidate semantics as the join path), score
+    only colliding (row, query) cells, emit batch-local top-k. The
+    corpus never shuffles — the same shape as brute force, minus the
+    non-candidate scores. This is the right plan when |queries| is
+    small; the join path is for query sets too big to broadcast.
+    """
+    spark = corpus.sparkSession
+    pmat = np.asarray(planes, dtype=np.float64)
+    n_planes = pmat.shape[0]
+    width = n_planes // bands
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    qids = q_pdf["qid"].to_numpy()
+    qmat = _stack(q_pdf["qv"])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qsig = (((qmat @ pmat.T) >= 0).astype(np.uint64) * weights[None, :]) \
+        .sum(axis=1)
+    qchunks = _chunk_values(qsig, bands, width)            # (Q, bands)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qchunks))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, vec_id {id_type}, cos_sim double"
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorm, b_qchunks = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = _stack(pdf[vec_col])
+            cids = pdf[id_col].to_numpy()
+            csig = (((cmat @ pmat.T) >= 0).astype(np.uint64)
+                    * weights[None, :]).sum(axis=1)
+            cchunks = _chunk_values(csig, bands, width)    # (B, bands)
+            # candidate iff ANY band chunk matches: (B, Q) bool
+            cand = (cchunks[:, None, :] == b_qchunks[None, :, :]).any(axis=2)
+            cand &= cids[:, None] != b_qids[None, :]
+            if not cand.any():
+                continue
+            cnorm = np.linalg.norm(cmat, axis=1)
+            scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(b_qids)):
+                keep = np.nonzero(cand[:, j])[0]
+                if keep.size == 0:
+                    continue
+                s = scores[:, j]
+                if keep.size > k:
+                    kth = np.partition(s[keep], keep.size - k)[keep.size - k]
+                    keep = keep[s[keep] >= kth]
+                order = np.lexsort((cids[keep], -s[keep]))
+                sel = keep[order][:k]
+                out_q.append(np.full(sel.size, b_qids[j]))
+                out_c.append(cids[sel])
+                out_s.append(s[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_c),
+                "cos_sim": np.concatenate(out_s),
+            })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cos_sim", "rank"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              n_planes: int = 16, bands: int = 4, dim: int = 64,
-             seed: int = 7) -> DataFrame:
+             seed: int = 7, broadcast_threshold: int = 10_000) -> DataFrame:
     """Approximate top-k: score only candidates sharing ≥1 signature band.
 
-    ``n_planes`` sign bits split into ``bands`` chunks; corpus rows and
-    query rows join on (band_id, chunk_value) — an equi hash join whose
-    fan-in is the bucket collision set, not the corpus. Missing
-    neighbors (no shared band) are the recall loss; increase bands or
-    lower n_planes/bands ratio to trade shuffle volume for recall.
+    ``n_planes`` sign bits split into ``bands`` chunks; a (corpus,
+    query) pair is a candidate iff they agree on ≥1 chunk. Two physical
+    plans with identical semantics, chosen like Spark picks broadcast
+    vs shuffle joins:
+
+    - |queries| ≤ ``broadcast_threshold``: map-side — broadcast the
+      query chunk table, one ``mapInPandas`` corpus pass, batch-local
+      top-k (no corpus shuffle at all).
+    - larger query sets: banded equi-join on (band_id, chunk_value) —
+      shuffle is O(rows × bands), fan-in is the bucket collision set.
+
+    Missing neighbors (no shared band) are the recall loss; increase
+    bands or lower n_planes/bands to trade work for recall. Signatures
+    and scoring are numpy-vectorized over Arrow batches throughout.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    width = n_planes // bands
-    mask = (1 << width) - 1
-
-    def banded(df: DataFrame, idc: str, prefix: str) -> DataFrame:
-        sig = lsh_signature(F.col(vec_col), planes)
-        return (df.select(F.col(idc).alias(f"{prefix}_id"),
-                          _to_double(F.col(vec_col)).alias(f"{prefix}_v"),
-                          sig.alias("_sig"))
-                .withColumn(f"{prefix}_n", l2_norm(F.col(f"{prefix}_v")))
-                .select(f"{prefix}_id", f"{prefix}_v", f"{prefix}_n",
-                        F.explode(F.array(*[
-                            F.struct(F.lit(b).alias("band"),
-                                     F.shiftrightunsigned(F.col("_sig"), b * width)
-                                     .bitwiseAND(F.lit(mask)).alias("cv"))
-                            for b in range(bands)])).alias("_bk")))
-
-    c = banded(corpus, id_col, "c")
-    q = banded(queries, query_id_col, "q")
-    cand = (c.join(F.broadcast(q), c["_bk"] == q["_bk"])
+    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("qv"))
+             .limit(broadcast_threshold + 1).toPandas())
+    if len(q_pdf) <= broadcast_threshold:
+        if len(q_pdf) == 0:
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            return corpus.sparkSession.createDataFrame(
+                [], f"query_id {id_type}, vec_id {id_type}, "
+                    f"cos_sim double, rank int")
+        return _lsh_topk_broadcast(corpus, q_pdf, k, id_col, vec_col,
+                                   planes, bands)
+    c = _banded(corpus, id_col, vec_col, "c", planes, bands)
+    q = _banded(queries, query_id_col, vec_col, "q", planes, bands)
+    cand = (c.join(q, c["_bk"] == q["_bk"])
             .filter(F.col("c_id") != F.col("q_id"))
             .dropDuplicates(["q_id", "c_id"])
-            .withColumn("cos_sim", dot(F.col("c_v"), F.col("q_v"))
-                        / (F.col("c_n") * F.col("q_n"))))
+            .withColumn("cos_sim", _cos_pairs(F.col("c_v"), F.col("q_v"),
+                                              F.col("c_n"), F.col("q_n"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -151,27 +334,16 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     same hyperplane-LSH banding, corpus-vs-itself. Output
     (id_a, id_b, cos_sim) with id_a < id_b."""
     planes = hyperplanes(dim, n_planes, seed)
-    width = n_planes // bands
-    mask = (1 << width) - 1
-    sig = lsh_signature(F.col(vec_col), planes)
-    base = (df.select(F.col(id_col).alias("_id"),
-                      _to_double(F.col(vec_col)).alias("_v"),
-                      sig.alias("_sig"))
-            .withColumn("_n", l2_norm(F.col("_v")))
-            .select("_id", "_v", "_n", F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.shiftrightunsigned(F.col("_sig"), b * width)
-                         .bitwiseAND(F.lit(mask)).alias("cv"))
-                for b in range(bands)])).alias("_bk")))
+    base = _banded(df, id_col, vec_col, "x", planes, bands)
     a, b = base.alias("a"), base.alias("b")
     return (a.join(b, (F.col("a._bk") == F.col("b._bk"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"),
-                    F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
-                    F.col("a._n").alias("_na"), F.col("b._n").alias("_nb"))
+                   & (F.col("a.x_id") < F.col("b.x_id")))
+            .select(F.col("a.x_id").alias("id_a"),
+                    F.col("b.x_id").alias("id_b"),
+                    F.col("a.x_v").alias("_va"), F.col("b.x_v").alias("_vb"),
+                    F.col("a.x_n").alias("_na"), F.col("b.x_n").alias("_nb"))
             .dropDuplicates(["id_a", "id_b"])
-            .withColumn("cos_sim", dot(F.col("_va"), F.col("_vb"))
-                        / (F.col("_na") * F.col("_nb")))
+            .withColumn("cos_sim", _cos_pairs(F.col("_va"), F.col("_vb"),
+                                              F.col("_na"), F.col("_nb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
