@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 TABLES = (
     "check_results", "dimension_scores", "summary_metrics_table",
     "summary_metrics_database", "freshness", "row_count_history",
-    "lineage", "rule_metrics", "checkpoint", "docs",
+    "lineage", "rule_metrics", "checkpoint", "checkpoint_tables", "docs",
 )
 
 

@@ -420,6 +420,62 @@ SELECT 'row_uniqueness_check', distinct_rows = total, 'uniqueness' FROM stats
 """
 
 
+def q_test_type_stats(spark, sf_dir):
+    """A10 per-test-type tallies (reference utils/helpers.py:109-157):
+    groupBy(test_name) rollup over the six-check results — two table
+    scopes (documents twice under different expected schemas) so totals
+    exceed 1 per test."""
+    import dq.rules as rules
+    from dq.scoring import test_type_stats
+
+    d = _t(spark, sf_dir, "documents")
+    run_date = dt.date.fromisoformat(RUN_DATE)
+    with_di = {"doc_id": "bigint", "text": "string", "lang": "string",
+               "source": "string", "n_chars": "bigint",
+               "date_insertion": "timestamp"}
+    without_di = {"doc_id": "bigint", "text": "string", "lang": "string"}
+    results = (rules.run_all_checks(d, "testdb", "documents", with_di,
+                                    run_date=run_date)
+               + rules.run_all_checks(d, "testdb", "documents2", without_di,
+                                      run_date=run_date))
+    rdf = spark.createDataFrame(
+        [(r["test_name"], r["passed"]) for r in results],
+        "test_name string, passed boolean")
+    return test_type_stats(rdf)
+
+
+ORACLE_TEST_TYPE_STATS = f"""
+WITH stats2 AS (
+  SELECT count(*) AS total,
+         count(doc_id) AS nn_doc_id,
+         sum(CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END) AS good_text,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END) AS good_lang,
+         sum(CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS good_source,
+         count(n_chars) AS nn_n_chars,
+         count(DISTINCT (doc_id, text, lang, source, n_chars)) AS distinct_rows
+  FROM documents
+), checks AS (
+  {ORACLE_TABLE_CHECKS}
+  UNION ALL
+  SELECT 'null_columns_check' AS test_name,
+         (nn_doc_id > 0 AND good_text > 0 AND good_lang > 0
+          AND good_source > 0 AND nn_n_chars > 0) AS passed,
+         'completeness' AS dimension FROM stats2
+  UNION ALL SELECT 'row_count_check', total >= 2, 'completeness' FROM stats2
+  UNION ALL SELECT 'schema_presence_check', TRUE, 'consistency' FROM stats2
+  UNION ALL SELECT 'schema_types_check', TRUE, 'consistency' FROM stats2
+  UNION ALL SELECT 'date_insertion_freshness_check', FALSE, 'timeliness' FROM stats2
+  UNION ALL
+  SELECT 'row_uniqueness_check', distinct_rows = total, 'uniqueness' FROM stats2
+)
+SELECT test_name, count(*) AS total,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+       CAST(count(*) - sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(floor(sum(CASE WHEN passed THEN 1 ELSE 0 END) * 10000 / count(*)) AS BIGINT) AS pass_rate_x100
+FROM checks GROUP BY test_name
+"""
+
+
 def q_dimension_scores(spark, sf_dir):
     """A9 dimension rollup (storage/postgres_storage.py:326-400 analog):
     per-dimension pass/fail tallies + integer-exact score over the
@@ -876,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_recent": q_topk_recent,
     "env_compare": q_env_compare,
     "table_checks": q_table_checks,
+    "test_type_stats": q_test_type_stats,
     "dimension_scores": q_dimension_scores,
     "summary_banding": q_summary_banding,
     "rollup_scores": q_rollup_scores,
@@ -906,6 +963,7 @@ ORACLES: dict[str, str] = {
     "topk_recent": ORACLE_TOPK,
     "env_compare": ORACLE_ENV_COMPARE,
     "table_checks": ORACLE_TABLE_CHECKS,
+    "test_type_stats": ORACLE_TEST_TYPE_STATS,
     "dimension_scores": ORACLE_DIMENSION_SCORES,
     "summary_banding": ORACLE_BANDING,
     "rollup_scores": ORACLE_ROLLUP,

@@ -104,6 +104,21 @@ def database_summary(results: DataFrame) -> DataFrame:
     )
 
 
+def test_type_stats(results: DataFrame) -> DataFrame:
+    """A10 per-test-type tallies (reference ``utils/helpers.py:109-157``,
+    also pdf_generator.py:195-210): total/passed/failed per test_name —
+    the reference loops result dicts; one groupBy here."""
+    return (
+        results.groupBy("test_name")
+        .agg(F.count(F.lit(1)).alias("total"),
+             F.sum(F.col("passed").cast("long")).alias("passed"))
+        .withColumn("failed", F.col("total") - F.col("passed"))
+        .withColumn("pass_rate_x100",
+                    F.floor(F.col("passed") * 10000 / F.col("total"))
+                    .cast("bigint"))
+    )
+
+
 def dimension_scores(results: DataFrame) -> DataFrame:
     score = F.when(F.col("total_tests") > 0,
                    F.col("passed_tests") / F.col("total_tests") * 100.0
