@@ -93,7 +93,8 @@ def shingles(text: Column, n: int = 3) -> Column:
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   min_num: int = 1, min_den: int = 2,
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs with sim ≥ min_num/min_den.
 
     Plan: explode distinct shingles → inverted index → self-equi-join on
@@ -102,10 +103,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     a SQL oracle). Output: (id_a, id_b, intersection, size_a, size_b,
     union_size) with id_a < id_b.
 
-    Scale: the join fans out by shingle document-frequency; for web-scale
-    corpora cap hot shingles upstream (drop shingles with df > cap) or
-    use :func:`minhash_lsh_pairs` — this operator is the *exact* oracle
-    the approximate ones are validated against.
+    Scale: the join fans out quadratically in per-shingle document
+    frequency — one stop-phrase shingle shared by d docs contributes
+    d(d-1)/2 join rows. ``max_shingle_df`` caps that: shingles whose df
+    exceeds the cap are dropped from the inverted index (the standard
+    web-dedup mitigation; a shingle in >cap documents carries ~no
+    similarity signal). The cap makes intersection counts conservative
+    (union sizes still use full shingle sets), so reported similarity is
+    a lower bound; leave it None for the exact/oracle semantics, set it
+    for web-scale corpora — or use :func:`minhash_lsh_pairs`.
     """
     base = df.select(F.col(id_col).alias("_id"),
                      shingles(F.col(text_col), n).alias("_sh"))
@@ -117,6 +123,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # buys us zero back-joins (and zero shingle recomputes) for sizes
     inv = base.select("_id", F.size("_sh").alias("_size"),
                       F.explode("_sh").alias("_s"))
+    if max_shingle_df is not None:
+        # the hot set is tiny by construction (only df>cap shingles) →
+        # broadcast anti-join, no extra data-side shuffle
+        hot = (inv.groupBy("_s")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_shingle_df)
+               .select("_s"))
+        inv = inv.join(F.broadcast(hot), "_s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a._s") == F.col("b._s"))
                     & (F.col("a._id") < F.col("b._id")))
@@ -291,7 +305,8 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 3,
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into
@@ -299,6 +314,15 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     match exactly on at least one chunk (Manku et al., WWW'07). Join on
     (chunk_id, chunk_value), then verify with ``bit_count(xor)``.
     Shuffle is O(docs × chunks); the exact check is join-local.
+
+    Scale: with k=3 the chunks are 16-bit → only 65,536 buckets per
+    chunk table, so within-bucket candidate pairs grow ~n²/65k at
+    web-corpus n. ``max_bucket_size`` bounds it: (chunk, value) buckets
+    larger than the cap are dropped before the self-join (per Manku's
+    practical tables — an over-full bucket means a degenerate
+    fingerprint region, e.g. boilerplate, that exact dedup already
+    catches upstream). Dropped buckets lose candidates (recall, not
+    precision); leave None for exact/oracle semantics.
     """
     chunks = max_hamming + 1
     width = 64 // chunks
@@ -314,6 +338,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
         for c in range(chunks)
     ])).alias("_ck"))
+    if max_bucket_size is not None:
+        hot = (keyed.groupBy("_ck")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_bucket_size)
+               .select("_ck"))
+        keyed = keyed.join(F.broadcast(hot), "_ck", "left_anti")
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     return (a.join(b, (F.col("a._ck") == F.col("b._ck"))

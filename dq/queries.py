@@ -779,9 +779,12 @@ WHERE intersection * 3 >= (sa.sz + sb.sz - intersection) * 1
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash(64)+LSH(16 bands) candidate pairs — approximate; no SQL
-    oracle (xxhash64 signatures are Spark-side); validated against the
-    exact Jaccard operator in tests/test_dedup_similarity.py."""
+    """MinHash(64)+LSH(16 bands) candidate pairs. The signature math is
+    md5-derived (Carter-Wegman h1 + i*h2 mod 2^64, dq/dedup.py), so the
+    EXACT candidate-pair set and per-pair est_jaccard reproduce in
+    DuckDB SQL via md5_number_upper/lower — a full oracle for an
+    'approximate' operator (the approximation is vs true Jaccard, not
+    vs the spec)."""
     d = _t(spark, sf_dir, "documents")
     return (dedup.minhash_lsh_pairs(d, "doc_id", "text",
                                     num_hashes=64, bands=16, n=3,
@@ -789,12 +792,163 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             .select("id_a", "id_b", "est_jaccard"))
 
 
+# md5_number_upper = first 8 digest bytes little-endian = the Python
+# mirror's h1; md5_number_lower = last 8 = h2 (verified empirically).
+ORACLE_MINHASH = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), chr(9247)) AS s
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+), hashes AS (
+  SELECT doc_id,
+         CAST(md5_number_upper(s) AS HUGEINT) AS h1,
+         CAST(md5_number_lower(s) AS HUGEINT) AS h2
+  FROM sh
+), sigs AS (
+  SELECT doc_id, i,
+         min(CAST((h1 + i * h2) % 18446744073709551616 AS UBIGINT)) AS sig
+  FROM hashes, unnest(generate_series(0, 63)) AS g(i)
+  GROUP BY doc_id, i
+), bandkeys AS (
+  SELECT doc_id, i // 4 AS band, list(sig ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // 4
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+GROUP BY 1, 2
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (Hamming ≤ 3) — approximate; no SQL
-    oracle; validated in tests."""
+    """SimHash near-dup candidates (Hamming ≤ 3, pigeonhole banding).
+    Fingerprints are md5-derived (per-token first-8-digest-bytes bit
+    votes, dq/dedup.py) → the exact pair set + Hamming distances
+    reproduce in DuckDB SQL."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3,
                                num_partitions=spark.sparkContext.defaultParallelism)
+
+
+def _simhash_oracle_sql() -> str:
+    # fingerprint weight-k bit votes come from digest byte (7 - k//8),
+    # bit (k%8): the Python mirror unpacks MSB-first and views the packed
+    # bytes big-endian, while md5_number_upper is the first 8 digest
+    # bytes little-endian — shift 8*(7 - k//8) + k%8 converts.
+    bit_terms = ",\n         ".join(
+        f"CASE WHEN 2 * sum(CAST((u >> {8 * (7 - k // 8) + k % 8}) & 1 AS BIGINT)) "
+        f"> count(*) THEN CAST({1 << k} AS HUGEINT) ELSE 0 END AS b{k}"
+        for k in range(64))
+    fp_sum = " + ".join(f"b{k}" for k in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), h AS (
+  SELECT doc_id, md5_number_upper(tok) AS u FROM toks
+), votes AS (
+  SELECT doc_id,
+         {bit_terms}
+  FROM h GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, CAST(({fp_sum}) AS UBIGINT) AS ufp FROM votes
+), keyed AS (
+  SELECT doc_id, ufp, c, CAST((ufp >> (c * 16)) & 65535 AS INT) AS cv
+  FROM fps, unnest([0, 1, 2, 3]) AS g(c)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ufp AS ua, b.ufp AS ub
+  FROM keyed a JOIN keyed b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ua, ub)) <= 3
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle_sql()
+
+
+_SYMBOL_SQL = "'#@^~|<>*={}[]$%&\\+_'"
+_STOPWORD_SQL = ", ".join(
+    f"'{w}'" for w in
+    ["the", "and", "of", "to", "in", "a", "is", "that", "it", "was",
+     "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+     "have", "from", "or", "one", "had", "by", "word", "but", "not", "what",
+     "all", "were", "we", "when", "your", "can", "said", "there", "use", "an"])
+
+
+def q_heuristic_rule_summary(spark, sf_dir):
+    """N3 Gopher/C4 heuristic rules (dq/heuristics.py Column exprs) at
+    DEFAULT config, tallied per source — the flagship pipeline's
+    heuristic stage under an exact SQL oracle (model rules stay
+    rows-only in quality_filter_pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    d = with_heuristics(d, "text")
+    aggs = [F.sum(F.col(r).cast("long")).alias(f"pass_{r}")
+            for r in RULE_NAMES]
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"), *aggs))
+
+
+ORACLE_HEURISTICS = f"""
+WITH t AS (
+  SELECT source, text,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), s AS (
+  SELECT source,
+         (text IS NOT NULL AND trim(text) <> '') AS has_text,
+         len(toks) AS n,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS lensum,
+         CASE WHEN text IS NOT NULL
+              THEN length(text) - length(translate(text, {_SYMBOL_SQL}, ''))
+              ELSE 0 END AS symcount,
+         len(list_filter(list_transform(toks,
+                 x -> regexp_replace(lower(x), '[^\\p{{L}}\\p{{N}}]', '', 'g')),
+             x -> x IN ({_STOPWORD_SQL}))) AS stopcount,
+         len(list_distinct(list_transform(toks,
+                 x -> regexp_replace(lower(x), '[^\\p{{L}}\\p{{N}}]', '', 'g')))) AS ndistinct,
+         len(list_filter(toks, x -> regexp_matches(x, '[\\p{{L}}]'))) AS alphacount
+  FROM t
+), r AS (
+  SELECT source,
+         (has_text AND n > 0) AS gate,
+         n, lensum, symcount, stopcount, ndistinct, alphacount,
+         CASE WHEN n > 0 THEN lensum / n ELSE 0.0 END AS meanlen,
+         symcount / greatest(n, 1) AS symratio,
+         CASE WHEN n > 0 THEN stopcount / n ELSE 0.0 END AS stopfrac,
+         CASE WHEN n > 0 THEN ndistinct / n ELSE 0.0 END AS distratio,
+         CASE WHEN n > 0 THEN alphacount / n ELSE 0.0 END AS alphafrac
+  FROM s
+)
+SELECT source, count(*) AS docs,
+       CAST(sum(CASE WHEN gate THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_non_empty,
+       CAST(sum(CASE WHEN gate AND n >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_min_words,
+       CAST(sum(CASE WHEN gate AND n <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_max_words,
+       CAST(sum(CASE WHEN gate AND meanlen >= 3.0 AND meanlen <= 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_mean_word_len,
+       CAST(sum(CASE WHEN gate AND symratio <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_symbol_ratio,
+       CAST(sum(CASE WHEN gate AND stopfrac >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_stopword_frac,
+       CAST(sum(CASE WHEN gate AND distratio >= 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_distinct_ratio,
+       CAST(sum(CASE WHEN gate AND alphafrac >= 0.80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_alpha_frac
+FROM r GROUP BY source
+"""
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -947,6 +1101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "heuristic_rule_summary": q_heuristic_rule_summary,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "quality_filter_pipeline": q_quality_filter_pipeline,
@@ -976,8 +1131,12 @@ ORACLES: dict[str, str] = {
     "quality_flag_summary": ORACLE_QUALITY_FLAGS,
     "pii_scan": ORACLE_PII,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "minhash_lsh_pairs": ORACLE_MINHASH,
+    "simhash_pairs": ORACLE_SIMHASH,
+    "heuristic_rule_summary": ORACLE_HEURISTICS,
     "embedding_topk": ORACLE_EMB_TOPK,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
-    # minhash_lsh_pairs / simhash_pairs / embedding_lsh_topk /
-    # quality_filter_pipeline: approximate or model-scored → rows-only.
+    # embedding_lsh_topk (plane signatures are Spark-side numpy) /
+    # quality_filter_pipeline (model-scored) / multimodal_decode
+    # (synthetic media): rows-only, documented in each docstring.
 }

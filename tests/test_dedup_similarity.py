@@ -99,6 +99,29 @@ def test_minhash_identical_texts_always_pair(spark):
     assert not any(10 in p for p in pairs)
 
 
+def test_jaccard_hot_shingle_df_cap(spark):
+    # 40 docs sharing ONE stop-phrase shingle, otherwise disjoint:
+    # without a cap the hot shingle alone fans out 40*39/2 join rows
+    rows = [(i, f"terms of service apply u{i}a u{i}b u{i}c u{i}d")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.jaccard_pairs(df, n=3, min_num=0, min_den=1).collect()
+    assert len(uncapped) == 40 * 39 // 2     # every pair is a candidate
+    capped = dedup.jaccard_pairs(df, n=3, min_num=0, min_den=1,
+                                 max_shingle_df=10).collect()
+    # the only shared shingles exceed the df cap → zero candidate pairs
+    assert capped == []
+    # a genuinely-similar pair below the cap still comes through intact
+    rows2 = rows + [(100, "alpha beta gamma delta epsilon"),
+                    (101, "alpha beta gamma delta zeta")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    capped2 = {(r["id_a"], r["id_b"]): r["intersection"]
+               for r in dedup.jaccard_pairs(
+                   df2, n=3, min_num=0, min_den=1,
+                   max_shingle_df=10).collect()}
+    assert capped2 == {(100, 101): 2}        # shared shingles survive
+
+
 # ---------------------------------------------------------------- simhash
 
 def test_simhash_identical_and_near(spark):
@@ -120,6 +143,23 @@ def test_simhash_identical_and_near(spark):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == d13
     assert not any(4 in p for p in pairs)
+
+
+def test_simhash_hot_bucket_cap(spark):
+    # 30 identical docs → one over-full bucket per chunk; pairs explode
+    # quadratically without the cap and vanish with it, while a distinct
+    # small near-dup group is untouched
+    base = "quarterly report revenue growth outlook guidance " * 3
+    other = "mountains rivers forests valleys deserts islands " * 3
+    rows = ([(i, base) for i in range(30)]
+            + [(100, other), (101, other)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.simhash_pairs(df, max_hamming=3,
+                                           max_bucket_size=10).collect()}
+    assert capped == {(100, 101)}            # hot bucket dropped, pair kept
 
 
 def test_simhash_null_empty(spark):
