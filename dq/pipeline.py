@@ -143,13 +143,23 @@ def run_pipeline(
         done = completed_partitions(spark, store, scope)
         pages = filter_unprocessed(pages, done)
 
+    # fold the scrub into the post-window projection and persist WITHOUT
+    # the raw text: every downstream consumer (docs/lineage/metrics/
+    # history) reads the persisted frame, and dropping the dominant
+    # column shrinks the cache ~40% (kept docs carry scrubbed text only;
+    # dropped docs carry none) — the memory-pressure lever that showed up
+    # as sub-linear thread scaling at local[32]
     scored = score_pages(spark, pages.drop("partition_value"), cfg)
+    scored = (scored
+              .withColumn("text_scrubbed",
+                          F.when(F.col("keep"), scrub_udf(F.col("text"))))
+              .withColumn("scrub_changed",
+                          F.when(F.col("keep"),
+                                 F.col("text_scrubbed") != F.col("text")))
+              .drop("text"))
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     docs = (scored.filter("keep")
-            .withColumn("text_scrubbed", scrub_udf(F.col("text")))
-            .withColumn("scrub_changed",
-                        F.col("text_scrubbed") != F.col("text"))
             .select("url", "warc_ts", "partition_value",
                     F.col("text_scrubbed").alias("text"),
                     "lang_pred", "ppl", "scrub_changed"))

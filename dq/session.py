@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DQ_DRIVER_MEM", "48g"))
+        # throughput GC: the allocation-heavy string stages (tokenize/
+        # normalize) measured ~1.8x faster at 32 threads under
+        # ParallelGC than default G1 (and G1 showed multi-10s full-GC
+        # stalls under sustained allocation); for a batch engine,
+        # throughput collector > pause-target collector
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
