@@ -60,6 +60,10 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # managed-table warehouse for AuditStore catalog mode (on a real
+        # cluster this is the Iceberg catalog's warehouse location)
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("DQ_WAREHOUSE", "/tmp/dq_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
