@@ -92,15 +92,26 @@ class AuditStore:
     # ----------------------------------------------------------- catalog
 
     def _append_catalog(self, table: str, df: DataFrame) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
         from pyspark.sql import functions as F
         spark = df.sparkSession
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.catalog_db}")
         full = self.path(table)
-        if spark.catalog.tableExists(full):
-            df.writeTo(full).append()
+        if not spark.catalog.tableExists(full):
+            writer = df.writeTo(full)
+            parts = self.partition_by.get(table)
+            if parts:
+                writer = writer.partitionedBy(*[F.col(p) for p in parts])
+            writer.create()
             return
-        writer = df.writeTo(full)
-        parts = self.partition_by.get(table)
-        if parts:
-            writer = writer.partitionedBy(*[F.col(p) for p in parts])
-        writer.create()
+        try:
+            # V2 catalogs (Iceberg): transactional append
+            df.writeTo(full).append()
+        except AnalysisException:
+            # built-in session catalog registers V1 tables, which the
+            # writer-V2 append refuses; the V1 append is equivalent there
+            writer = df.write.mode("append")
+            parts = self.partition_by.get(table)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.saveAsTable(full)
