@@ -173,24 +173,35 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                p = r[payload_col]
-                if p is None:
-                    continue
-                if duration_ms_col:
-                    dur = int(r[duration_ms_col])
-                else:
-                    dur = 1000 + _stable_u32(p, b"dur") % 29000
-                for i, ts in enumerate(range(0, dur, every_ms)):
-                    rows.append({
-                        "media_id": r[id_col],
-                        "frame_index": i,
-                        "frame_ts_ms": ts,
-                        "frame_sha1": hashlib.sha1(
-                            p[:64] + ts.to_bytes(8, "big")).hexdigest(),
-                    })
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+            payloads = pdf[payload_col].to_numpy()
+            mask = np.array([p is not None for p in payloads])
+            if not mask.any():
+                yield pd.DataFrame(
+                    columns=[f.name for f in FRAME_SCHEMA])
+                continue
+            ids = pdf[id_col].to_numpy()[mask]
+            pl = payloads[mask]
+            if duration_ms_col:
+                durs = pdf[duration_ms_col].to_numpy()[mask].astype(np.int64)
+            else:
+                durs = np.array([1000 + _stable_u32(p, b"dur") % 29000
+                                 for p in pl], dtype=np.int64)
+            # vectorized fan-out: per-media frame counts → repeated ids +
+            # a single ragged frame-index vector (sha1 per frame remains
+            # the only per-frame Python — it IS the decode surrogate)
+            counts = (durs + every_ms - 1) // every_ms
+            media_idx = np.repeat(np.arange(len(pl)), counts)
+            frame_idx = (np.arange(len(media_idx))
+                         - np.repeat(np.cumsum(counts) - counts, counts))
+            ts = frame_idx * every_ms
+            sha = [hashlib.sha1(pl[m][:64] + int(t).to_bytes(8, "big"))
+                   .hexdigest() for m, t in zip(media_idx, ts)]
+            yield pd.DataFrame({
+                "media_id": ids[media_idx],
+                "frame_index": frame_idx.astype(np.int32),
+                "frame_ts_ms": ts.astype(np.int64),
+                "frame_sha1": sha,
+            })
 
     return df.mapInPandas(run, FRAME_SCHEMA)
 

@@ -1011,6 +1011,29 @@ def _documents_as_webpages(spark, sf_dir):
         "doc_id", "source")
 
 
+def q_embedding_index_topk(spark, sf_dir):
+    """ANN over a persisted multi-table LSH index: bucketed-parquet
+    build (once per sf_dir) + partition-pruned query — the IVF-style
+    scale path where query I/O is the collision buckets, not the
+    corpus. Results are identical to scan-time LSH at the same params
+    (asserted in tests); rows-only for the driver (plane signatures are
+    Spark-side numpy, not SQL-expressible)."""
+    import hashlib as _h
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        "/tmp", f"dq_lsh_index_{_h.sha1(sf_dir.encode()).hexdigest()[:12]}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.build_lsh_index(e, path, n_planes=32, bands=4, dim=64)
+    queries = (e.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.lsh_index_topk(spark, path, queries, k=5,
+                                    n_planes=32, bands=4, dim=64)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
 def q_quality_filter_pipeline(spark, sf_dir):
     """End-to-end flagship: heuristics (Column exprs) + langid +
     perplexity (broadcast-model pandas UDFs) + exact dedup + scrub →
@@ -1104,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heuristic_rule_summary": q_heuristic_rule_summary,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_index_topk": q_embedding_index_topk,
     "quality_filter_pipeline": q_quality_filter_pipeline,
     "multimodal_decode": q_multimodal_decode,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,

@@ -325,6 +325,70 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("c_id").alias("vec_id"), "cos_sim", "rank"))
 
 
+def build_lsh_index(df: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 16, bands: int = 4, dim: int = 64,
+                    seed: int = 7) -> None:
+    """Write a multi-table LSH index: each row replicated once per band,
+    parquet partitioned by (band, chunk_value).
+
+    Storage is bands× the corpus — the classic multi-table LSH trade
+    (Indyk-Motwani / Manku). The payoff is on the read side:
+    :func:`lsh_index_topk` prunes to the (band, cv) directories its
+    query set actually collides with, so query cost scales with the
+    collision buckets, not the corpus — the property brute force and
+    scan-time LSH cannot have, and the reason this is the 100-TB path
+    (an un-indexed top-k over 100 TB is a 100-TB scan per query set).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    base = _banded(df, id_col, vec_col, "x", planes, bands)
+    (base.select("x_id", "x_v", "x_n",
+                 F.col("_bk.band").alias("band"),
+                 F.col("_bk.cv").alias("cv"))
+     .write.mode("overwrite").partitionBy("band", "cv").parquet(path))
+
+
+def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   n_planes: int = 16, bands: int = 4, dim: int = 64,
+                   seed: int = 7) -> DataFrame:
+    """Approximate top-k over a :func:`build_lsh_index` index.
+
+    Query chunk values are computed driver-side (numpy, tiny) and become
+    a partition-pruning predicate over the index's (band, cv)
+    directories — ``.explain`` shows only the collision buckets being
+    scanned. The pruned candidate set then goes through the same
+    map-side collision scorer as :func:`lsh_topk`, so results are
+    IDENTICAL to scan-time LSH with the same planes/bands (asserted in
+    tests); only the I/O shrinks.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    pmat = np.asarray(planes, dtype=np.float64)
+    width = n_planes // bands
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("qv")).toPandas())
+    if len(q_pdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int")
+    qmat = _stack(q_pdf["qv"])
+    qsig = (((qmat @ pmat.T) >= 0).astype(np.uint64)
+            * weights[None, :]).sum(axis=1)
+    qchunks = _chunk_values(qsig, bands, width)
+    cond = None
+    for b in range(bands):
+        vals = sorted({int(v) for v in qchunks[:, b]})
+        c = (F.col("band") == b) & F.col("cv").isin(vals)
+        cond = c if cond is None else cond | c
+    idx = spark.read.parquet(path).filter(cond)
+    cand = (idx.dropDuplicates(["x_id"])
+            .select(F.col("x_id").alias(id_col),
+                    F.col("x_v").alias(vec_col)))
+    return _lsh_topk_broadcast(cand, q_pdf, k, id_col, vec_col,
+                               planes, bands)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -208,6 +208,54 @@ def test_lsh_topk_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.8   # measured 0.98 at 8 bands
 
 
+def test_lsh_index_topk_matches_scan_lsh_and_prunes(spark, emb, tmp_path):
+    import os
+    path = str(tmp_path / "lshidx")
+    params = dict(n_planes=32, bands=4, dim=64)
+    similarity.build_lsh_index(emb, path, **params)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    scan = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in similarity.lsh_topk(emb, queries, k=5, **params)
+            .collect()}
+    via_index = {(r["query_id"], r["vec_id"], r["rank"])
+                 for r in similarity.lsh_index_topk(
+                     spark, path, queries, k=5, **params).collect()}
+    # identical results: the index changes I/O, not semantics
+    assert via_index == scan and len(scan) > 0
+
+    # partition pruning actually happened: the pruned scan's numFiles
+    # metric is a small fraction of the index (NOT inputFiles(), which
+    # lists pre-pruning)
+    import numpy as np
+
+    def num_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.get("numFiles").get().value()
+        return total
+
+    planes = similarity.hyperplanes(64, 32, 7)
+    pmat = np.asarray(planes)
+    qm = similarity._stack(queries.toPandas()["embedding"])
+    w = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+    qsig = (((qm @ pmat.T) >= 0).astype(np.uint64) * w[None, :]).sum(axis=1)
+    qc = similarity._chunk_values(qsig, 4, 8)
+    cond = None
+    for b in range(4):
+        c = (F.col("band") == b) & F.col("cv").isin(
+            sorted({int(v) for v in qc[:, b]}))
+        cond = c if cond is None else cond | c
+    idx = spark.read.parquet(path)
+    pruned = num_files(idx.filter(cond))
+    full = num_files(idx)
+    assert pruned < full / 4, (pruned, full)
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     import numpy as np
     rng = np.random.RandomState(0)
