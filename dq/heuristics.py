@@ -52,7 +52,9 @@ RULE_NAMES = [
 
 
 def _norm_token(w: Column) -> Column:
-    return F.regexp_replace(F.lower(w), r"[^\p{L}\p{N}]", "")
+    # tokens arrive already lowercased (one lower() on the whole text
+    # beats one per token); only the punctuation strip remains per token
+    return F.regexp_replace(w, r"[^\p{L}\p{N}]", "")
 
 
 def with_heuristics(df: DataFrame, text_col: str = "text",
@@ -68,7 +70,11 @@ def with_heuristics(df: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     has_text = text.isNotNull() & (F.trim(text) != "")
 
-    words = F.when(has_text, F.split(F.trim(text), r"\s+")) \
+    # lowercase ONCE on the full string, then tokenize: every consumer
+    # (length sums, \p{L} match, stopword/distinct over normalized
+    # tokens) is case-insensitive or wants lowercase anyway, and one
+    # big-string lower() allocates far less than one per token
+    words = F.when(has_text, F.split(F.lower(F.trim(text)), r"\s+")) \
              .otherwise(F.array().cast("array<string>"))
     # normalize ONCE: the normalized array feeds both the stopword count
     # and the distinct-token count (one regexp pass per token, not two)
