@@ -60,3 +60,26 @@ def test_unicode_letters_count_as_alpha(spark):
     t = " ".join(["في من على إلى حديقة نافذة رحلة طريق"] * 10)
     r = _score(spark, [t])[0]
     assert r.alpha_frac == 1.0 and r.rule_alpha_frac
+
+
+def test_catalog_queries_survive_ansi_on_session(spark):
+    """The driver may hand us a Spark-4-default ANSI-on session; the
+    stopword map lookup uses try_element_at and every catalog query
+    pins ansi off via _t() — heuristics and the flagship pipeline must
+    not throw MAP_KEY_DOES_NOT_EXIST / CAST_INVALID_INPUT."""
+    from dq.queries import q_heuristic_rule_summary, q_quality_filter_pipeline
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert q_heuristic_rule_summary(
+            spark, "/root/testdata/sf0.001").count() > 0
+        assert q_quality_filter_pipeline(
+            spark, "/root/testdata/sf0.001").count() > 0
+        # direct heuristics call under a raw ANSI-on frame (no _t pin):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat with his friends and all of them")],
+            "id long, text string")
+        row = with_heuristics(df).collect()[0]
+        assert row["stopword_frac"] > 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
