@@ -345,6 +345,10 @@ def build_lsh_index(df: DataFrame, path: str,
     (base.select("x_id", "x_v", "x_n",
                  F.col("_bk.band").alias("band"),
                  F.col("_bk.cv").alias("cv"))
+     # co-locate each (band, cv) bucket in one task before the
+     # partitioned write: one file per bucket directory instead of one
+     # per (task × bucket) — the classic partitionBy small-files blowup
+     .repartition(F.col("band"), F.col("cv"))
      .write.mode("overwrite").partitionBy("band", "cv").parquet(path))
 
 
