@@ -18,6 +18,14 @@ Two modes, same call sites:
   catalog (parquet provider), which is what keeps the mode testable
   here without Iceberg jars.
 
+Write disciplines:
+- ``append`` — append-only streams with no rerun semantics.
+- ``overwrite_partitions`` — tables whose rows belong to a rerunnable
+  unit (an execution_id, a day partition): written with DYNAMIC
+  partition overwrite so a rerun REPLACES its own rows instead of
+  duplicating them — partition-grain idempotency for crashed-and-rerun
+  ``run_checks_job`` / ``run_pipeline`` regardless of where they died.
+
 Distributed writes — the reference's batched psycopg2 INSERTs
 (batch_size=1000, ``config/settings.py:97``) become executor-parallel
 file commits.
@@ -62,7 +70,7 @@ class AuditStore:
 
     def append(self, table: str, df: DataFrame) -> None:
         if self.catalog_db:
-            self._append_catalog(table, df)
+            self._write_catalog(table, df, overwrite_parts=None)
             return
         writer = df.write.mode("append")
         parts = self.partition_by.get(table)
@@ -70,9 +78,36 @@ class AuditStore:
             writer = writer.partitionBy(*parts)
         writer.parquet(self.path(table))
 
-    def exists(self, table: str) -> bool:
+    def overwrite_partitions(self, table: str, df: DataFrame,
+                             keys: list[str] | None = None) -> None:
+        """Idempotent write: the table is partitioned by ``keys`` (+ any
+        declared partitioning) and ONLY the partitions present in ``df``
+        are replaced (dynamic partition overwrite). Re-running a crashed
+        job overwrites its own half-written rows instead of appending
+        duplicates — partition-grain idempotency without a transaction
+        log (and snapshot-atomic when the catalog is Iceberg)."""
+        parts = list(keys or []) + [c for c in
+                                    self.partition_by.get(table, [])
+                                    if c not in (keys or [])]
+        if not parts:
+            raise ValueError(f"overwrite_partitions({table}) needs keys "
+                             "or declared partitioning")
         if self.catalog_db:
-            spark = SparkSession.getActiveSession()
+            self._write_catalog(table, df, overwrite_parts=parts)
+            return
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*parts)
+         .parquet(self.path(table)))
+
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
+        if self.catalog_db:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "catalog-mode exists() needs a SparkSession (pass one "
+                    "explicitly from worker threads — getActiveSession is "
+                    "thread-local)")
             return spark.catalog.tableExists(self.path(table))
         p = self.path(table)
         if not os.path.isdir(p):
@@ -83,7 +118,7 @@ class AuditStore:
         return False
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        if not self.exists(table):
+        if not self.exists(table, spark):
             return None
         if self.catalog_db:
             return spark.read.table(self.path(table))
@@ -91,27 +126,62 @@ class AuditStore:
 
     # ----------------------------------------------------------- catalog
 
-    def _append_catalog(self, table: str, df: DataFrame) -> None:
+    def _create_catalog_table(self, full: str, df: DataFrame,
+                              parts: list[str]) -> bool:
+        """Create via writer V2; True if created, False if it already
+        existed (lost a creation race — caller should append instead)."""
         from pyspark.errors.exceptions.captured import AnalysisException
         from pyspark.sql import functions as F
+        writer = df.writeTo(full)
+        if parts:
+            writer = writer.partitionedBy(*[F.col(p) for p in parts])
+        try:
+            writer.create()
+            return True
+        except AnalysisException as exc:
+            if "TABLE_OR_VIEW_ALREADY_EXISTS" in str(exc) \
+                    or "already exists" in str(exc).lower():
+                return False
+            raise
+
+    def _write_catalog(self, table: str, df: DataFrame,
+                       overwrite_parts: list[str] | None = None) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
         spark = df.sparkSession
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.catalog_db}")
         full = self.path(table)
+        parts = overwrite_parts or list(self.partition_by.get(table, []))
         if not spark.catalog.tableExists(full):
-            writer = df.writeTo(full)
-            parts = self.partition_by.get(table)
-            if parts:
-                writer = writer.partitionedBy(*[F.col(p) for p in parts])
-            writer.create()
+            if self._create_catalog_table(full, df, parts):
+                return
+        if overwrite_parts:
+            try:
+                df.writeTo(full).overwritePartitions()   # V2 (Iceberg)
+                return
+            except AnalysisException as exc:
+                if "v1 table" not in str(exc).lower():
+                    raise
+            # V1 session catalog: positional insertInto with dynamic
+            # partition overwrite (columns reordered to table schema)
+            cols = spark.table(full).columns
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                  "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                df.select(*cols).write.insertInto(full, overwrite=True)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                               prev)
             return
         try:
-            # V2 catalogs (Iceberg): transactional append
-            df.writeTo(full).append()
-        except AnalysisException:
-            # built-in session catalog registers V1 tables, which the
-            # writer-V2 append refuses; the V1 append is equivalent there
+            df.writeTo(full).append()                    # V2 (Iceberg)
+        except AnalysisException as exc:
+            # ONLY the V1-table refusal falls back; genuine schema
+            # errors must surface, not be retried down another path
+            if "v1 table" not in str(exc).lower():
+                raise
             writer = df.write.mode("append")
-            parts = self.partition_by.get(table)
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.saveAsTable(full)

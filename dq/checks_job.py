@@ -77,7 +77,7 @@ def _mark_tables_done(spark: SparkSession, store: AuditStore,
         [(execution_id, e, d, t, "done", completed_at) for e, d, t in keys],
         "execution_id string, environment string, database_name string, "
         "table_name string, status string, completed_at timestamp")
-    store.append("checkpoint_tables", df)
+    store.overwrite_partitions("checkpoint_tables", df, ["execution_id"])
 
 
 def freshness_rows(results: list[dict[str, Any]], execution_id: str,
@@ -205,23 +205,34 @@ def run_checks_job(
     dim_scores = scoring.dimension_scores(results_df)
     tt_stats = scoring.test_type_stats(results_df)
 
-    # 4. persist the metric stages (main.py:442-501 analog)
+    # 4. persist the metric stages (main.py:442-501 analog) as DYNAMIC
+    # partition overwrites keyed by execution_id: a crash anywhere in
+    # this block followed by a rerun of the same execution_id REPLACES
+    # the half-written partitions instead of appending duplicates — the
+    # checkpoint marking (last) is purely a skip-optimization, never a
+    # correctness gate
     stamp = [F.lit(execution_id).alias("execution_id"),
              F.lit(run_ts).alias("execution_timestamp")]
-    store.append("check_results", results_df.select(*stamp, "*"))
-    store.append("dimension_scores", dim_scores.select(*stamp, "*"))
-    store.append("summary_metrics_table", table_sum.select(*stamp, "*"))
-    store.append("summary_metrics_database", db_sum.select(*stamp, "*"))
+    ekeys = ["execution_id"]
+    store.overwrite_partitions(
+        "check_results", results_df.select(*stamp, "*"), ekeys)
+    store.overwrite_partitions(
+        "dimension_scores", dim_scores.select(*stamp, "*"), ekeys)
+    store.overwrite_partitions(
+        "summary_metrics_table", table_sum.select(*stamp, "*"), ekeys)
+    store.overwrite_partitions(
+        "summary_metrics_database", db_sum.select(*stamp, "*"), ekeys)
     frows = freshness_rows(results, execution_id, run_ts)
     if frows:
-        store.append("freshness",
-                     spark.createDataFrame(frows, FRESHNESS_SCHEMA))
+        store.overwrite_partitions(
+            "freshness", spark.createDataFrame(frows, FRESHNESS_SCHEMA),
+            ekeys)
     if counts:
-        store.append("row_count_history", spark.createDataFrame(
+        store.overwrite_partitions("row_count_history", spark.createDataFrame(
             [(execution_id, run_ts, e, d, t, c) for e, d, t, c in counts],
             "execution_id string, execution_timestamp timestamp, "
             "environment string, database_name string, table_name string, "
-            "row_count long"))
+            "row_count long"), ["execution_id", "table_name"])
     _mark_tables_done(spark, store, execution_id, fresh_keys, run_ts)
 
     manifest_path = None

@@ -182,7 +182,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             ids = pdf[id_col].to_numpy()[mask]
             pl = payloads[mask]
             if duration_ms_col:
-                durs = pdf[duration_ms_col].to_numpy()[mask].astype(np.int64)
+                raw = pdf[duration_ms_col].to_numpy()[mask]
+                # NULL/NaN → 0 frames (skip), negative → 0 frames: the
+                # row-loop predecessor's range() semantics, which a bare
+                # astype would turn into a crash (negative repeats) or
+                # INT64_MIN garbage (NaN)
+                raw = np.nan_to_num(raw.astype(np.float64), nan=0.0)
+                durs = np.maximum(raw, 0).astype(np.int64)
             else:
                 durs = np.array([1000 + _stable_u32(p, b"dur") % 29000
                                  for p in pl], dtype=np.int64)

@@ -169,9 +169,14 @@ def run_pipeline(
     if store is not None:
         parts = [r["partition_value"] for r in
                  scored.select("partition_value").distinct().collect()]
-        store.append("docs", docs)
-        store.append("lineage", lineage)
-        store.append("rule_metrics", metrics)
+        # dynamic partition overwrite at day grain: a partition whose
+        # processing crashed after a partial append is fully REPLACED on
+        # the rerun (the checkpoint anti-join only skips partitions whose
+        # mark_done committed, and mark_done runs last) — "a partition is
+        # either fully absent or fully present" holds even mid-crash
+        store.overwrite_partitions("docs", docs)
+        store.overwrite_partitions("lineage", lineage)
+        store.overwrite_partitions("rule_metrics", metrics)
         history = (scored.groupBy("partition_value")
                    .agg(F.count(F.lit(1)).alias("row_count"))
                    .select(
@@ -181,7 +186,8 @@ def run_pipeline(
                        F.lit(scope).alias("database_name"),
                        F.col("partition_value").cast("string").alias("table_name"),
                        "row_count"))
-        store.append("row_count_history", history)
+        store.overwrite_partitions("row_count_history", history,
+                                   ["execution_id", "table_name"])
         mark_done(spark, store, scope, execution_id, parts, run_ts)
 
     return {"docs": docs, "lineage": lineage, "metrics": metrics,

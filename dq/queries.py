@@ -907,9 +907,12 @@ def q_heuristic_rule_summary(spark, sf_dir):
 
 ORACLE_HEURISTICS = f"""
 WITH t AS (
+  -- mirror the Spark side exactly: lowercase ONCE on the trimmed text
+  -- before tokenizing (token lengths are measured on the lowercased
+  -- form by definition — relevant for case-folds that change length)
   SELECT source, text,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(lower(trim(text)), '\\s+')
               ELSE [] END AS toks
   FROM documents
 ), s AS (
@@ -1022,10 +1025,29 @@ def q_embedding_index_topk(spark, sf_dir):
     import os
 
     e = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        "/tmp", f"dq_lsh_index_{_h.sha1(sf_dir.encode()).hexdigest()[:12]}")
+    # cache key fingerprints the DATA (file names/sizes/mtimes), not just
+    # the path — regenerated fixtures invalidate the cached index instead
+    # of silently serving stale neighbors
+    src = f"{sf_dir}/embeddings.parquet"
+    h = _h.sha1(sf_dir.encode())
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    path = os.path.join("/tmp", f"dq_lsh_index_{h.hexdigest()[:16]}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        similarity.build_lsh_index(e, path, n_planes=32, bands=4, dim=64)
+        # build into a temp dir + atomic rename: a concurrent builder
+        # either wins the rename or reads the winner's complete index
+        tmp = f"{path}.build.{os.getpid()}"
+        similarity.build_lsh_index(e, tmp, n_planes=32, bands=4, dim=64)
+        try:
+            os.rename(tmp, path)
+        except OSError:           # lost the race — winner's index is whole
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     queries = (e.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.lsh_index_topk(spark, path, queries, k=5,

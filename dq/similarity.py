@@ -64,6 +64,35 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
+def _select_topk(s: np.ndarray, keep: np.ndarray, cids: np.ndarray,
+                 k: int) -> np.ndarray:
+    """Batch-local top-k under the GLOBAL total order (desc score, asc
+    corpus id): kth-largest threshold first so boundary ties survive to
+    the exact global tie-break, then lexsort. Shared by the brute-force
+    and LSH scorers — the equivalence of the two paths depends on this
+    being one implementation."""
+    if keep.size == 0:
+        return keep
+    if keep.size > k:
+        kth = np.partition(s[keep], keep.size - k)[keep.size - k]
+        keep = keep[s[keep] >= kth]
+    order = np.lexsort((cids[keep], -s[keep]))
+    return keep[order][:k]
+
+
+def _emit(out_q: list, out_c: list, out_s: list) -> pd.DataFrame:
+    return pd.DataFrame({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_c),
+                         "cos_sim": np.concatenate(out_s)})
+
+
+def _out_schema(queries: DataFrame, query_id_col: str,
+                corpus_id_type: str) -> str:
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    return (f"query_id {qid_type}, vec_id {corpus_id_type}, "
+            f"cos_sim double")
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
@@ -80,8 +109,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
     q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
                             F.col(vec_col).alias("qv")).toPandas())
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"query_id {id_type}, vec_id {id_type}, cos_sim double"
+    out_schema = _out_schema(queries, query_id_col,
+                             corpus.schema[id_col].dataType.simpleString())
     if len(q_pdf) == 0:
         return spark.createDataFrame([], out_schema + ", rank int")
     qids = q_pdf["qid"].to_numpy()
@@ -101,27 +130,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
             out_q, out_c, out_s = [], [], []
             for j in range(len(b_qids)):
-                s = scores[:, j]
-                keep = np.nonzero(cids != b_qids[j])[0]
-                if keep.size == 0:
-                    continue
-                if keep.size > k:
-                    # kth-largest threshold, then take every row >= it so
-                    # boundary ties survive to the exact global tie-break
-                    kth = np.partition(s[keep], keep.size - k)[keep.size - k]
-                    keep = keep[s[keep] >= kth]
-                order = np.lexsort((cids[keep], -s[keep]))[:max(k, 1)]
-                sel = keep[order][:k]
-                out_q.append(np.full(sel.size, b_qids[j]))
-                out_c.append(cids[sel])
-                out_s.append(s[sel])
-            if not out_q:
-                continue
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_c),
-                "cos_sim": np.concatenate(out_s),
-            })
+                sel = _select_topk(scores[:, j],
+                                   np.nonzero(cids != b_qids[j])[0],
+                                   cids, k)
+                if sel.size:
+                    out_q.append(np.full(sel.size, b_qids[j]))
+                    out_c.append(cids[sel])
+                    out_s.append(scores[sel, j])
+            if out_q:
+                yield _emit(out_q, out_c, out_s)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, schema=out_schema)
@@ -202,16 +219,18 @@ def _chunk_values(sigs: np.ndarray, bands: int, width: int) -> np.ndarray:
 
 def _lsh_topk_broadcast(corpus: DataFrame, q_pdf: pd.DataFrame, k: int,
                         id_col: str, vec_col: str,
-                        planes: list[list[float]], bands: int) -> DataFrame:
+                        planes: list[list[float]], bands: int,
+                        out_schema: str) -> DataFrame:
     """Map-side LSH top-k for a broadcastable query set.
 
     One ``mapInPandas`` pass over the corpus: batch signatures via one
     matmul, collision mask against the broadcast query chunk values
-    (same any-shared-band candidate semantics as the join path), score
-    only colliding (row, query) cells, emit batch-local top-k. The
-    corpus never shuffles — the same shape as brute force, minus the
-    non-candidate scores. This is the right plan when |queries| is
-    small; the join path is for query sets too big to broadcast.
+    (same any-shared-band candidate semantics as the join path), then
+    ONLY the rows that collide with ≥1 query are scored (one matmul
+    over the colliding subset — per-cell masking beyond that would be
+    slower than the dense block for small query sets). The corpus never
+    shuffles. This is the right plan when |queries| is small; the join
+    path is for query sets too big to broadcast.
     """
     spark = corpus.sparkSession
     pmat = np.asarray(planes, dtype=np.float64)
@@ -227,9 +246,6 @@ def _lsh_topk_broadcast(corpus: DataFrame, q_pdf: pd.DataFrame, k: int,
     qchunks = _chunk_values(qsig, bands, width)            # (Q, bands)
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qchunks))
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"query_id {id_type}, vec_id {id_type}, cos_sim double"
-
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qids, b_qmat, b_qnorm, b_qchunks = bq.value
         for pdf in batches:
@@ -243,31 +259,25 @@ def _lsh_topk_broadcast(corpus: DataFrame, q_pdf: pd.DataFrame, k: int,
             # candidate iff ANY band chunk matches: (B, Q) bool
             cand = (cchunks[:, None, :] == b_qchunks[None, :, :]).any(axis=2)
             cand &= cids[:, None] != b_qids[None, :]
-            if not cand.any():
+            rows = np.nonzero(cand.any(axis=1))[0]
+            if rows.size == 0:
                 continue
-            cnorm = np.linalg.norm(cmat, axis=1)
-            scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
+            sub = cmat[rows]                   # score colliding rows only
+            sub_ids = cids[rows]
+            sub_cand = cand[rows]
+            sub_norm = np.linalg.norm(sub, axis=1)
+            scores = (sub @ b_qmat.T) / (sub_norm[:, None] * b_qnorm[None, :])
             out_q, out_c, out_s = [], [], []
             for j in range(len(b_qids)):
-                keep = np.nonzero(cand[:, j])[0]
-                if keep.size == 0:
-                    continue
-                s = scores[:, j]
-                if keep.size > k:
-                    kth = np.partition(s[keep], keep.size - k)[keep.size - k]
-                    keep = keep[s[keep] >= kth]
-                order = np.lexsort((cids[keep], -s[keep]))
-                sel = keep[order][:k]
-                out_q.append(np.full(sel.size, b_qids[j]))
-                out_c.append(cids[sel])
-                out_s.append(s[sel])
-            if not out_q:
-                continue
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_c),
-                "cos_sim": np.concatenate(out_s),
-            })
+                sel = _select_topk(scores[:, j],
+                                   np.nonzero(sub_cand[:, j])[0],
+                                   sub_ids, k)
+                if sel.size:
+                    out_q.append(np.full(sel.size, b_qids[j]))
+                    out_c.append(sub_ids[sel])
+                    out_s.append(scores[sel, j])
+            if out_q:
+                yield _emit(out_q, out_c, out_s)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, schema=out_schema)
@@ -300,17 +310,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     and scoring are numpy-vectorized over Arrow batches throughout.
     """
     planes = hyperplanes(dim, n_planes, seed)
+    out_schema = _out_schema(queries, query_id_col,
+                             corpus.schema[id_col].dataType.simpleString())
     q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
                             F.col(vec_col).alias("qv"))
              .limit(broadcast_threshold + 1).toPandas())
     if len(q_pdf) <= broadcast_threshold:
         if len(q_pdf) == 0:
-            id_type = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame(
-                [], f"query_id {id_type}, vec_id {id_type}, "
-                    f"cos_sim double, rank int")
+                [], out_schema + ", rank int")
         return _lsh_topk_broadcast(corpus, q_pdf, k, id_col, vec_col,
-                                   planes, bands)
+                                   planes, bands, out_schema)
     c = _banded(corpus, id_col, vec_col, "c", planes, bands)
     q = _banded(queries, query_id_col, vec_col, "q", planes, bands)
     cand = (c.join(q, c["_bk"] == q["_bk"])
@@ -371,11 +381,14 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
     pmat = np.asarray(planes, dtype=np.float64)
     width = n_planes // bands
     weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+    idx_full = spark.read.parquet(path)
+    out_schema = _out_schema(
+        queries, query_id_col,
+        idx_full.schema["x_id"].dataType.simpleString())
     q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
                             F.col(vec_col).alias("qv")).toPandas())
     if len(q_pdf) == 0:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cos_sim double, rank int")
+        return spark.createDataFrame([], out_schema + ", rank int")
     qmat = _stack(q_pdf["qv"])
     qsig = (((qmat @ pmat.T) >= 0).astype(np.uint64)
             * weights[None, :]).sum(axis=1)
@@ -385,12 +398,12 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
         vals = sorted({int(v) for v in qchunks[:, b]})
         c = (F.col("band") == b) & F.col("cv").isin(vals)
         cond = c if cond is None else cond | c
-    idx = spark.read.parquet(path).filter(cond)
-    cand = (idx.dropDuplicates(["x_id"])
+    cand = (idx_full.filter(cond)
+            .dropDuplicates(["x_id"])
             .select(F.col("x_id").alias(id_col),
                     F.col("x_v").alias(vec_col)))
     return _lsh_topk_broadcast(cand, q_pdf, k, id_col, vec_col,
-                               planes, bands)
+                               planes, bands, out_schema)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

@@ -139,6 +139,32 @@ def test_resume_skips_completed_tables(spark, tmp_path, specs):
     assert len(out2["results"]) == 13
 
 
+def test_crashed_rerun_does_not_duplicate(spark, tmp_path, specs):
+    """Crash-window idempotency: metric writes are dynamic partition
+    overwrites keyed by execution_id, so a run that died AFTER
+    persisting metrics but BEFORE checkpointing (the worst window)
+    replaces its own rows on rerun instead of appending duplicates."""
+    import shutil
+
+    store = AuditStore(str(tmp_path / "audit"))
+    run_checks_job(spark, specs, "e1", RUN_DATE, store)
+    counts1 = {t: store.read(spark, t).count()
+               for t in ("check_results", "dimension_scores",
+                         "summary_metrics_table", "freshness",
+                         "row_count_history")}
+
+    # simulate the crash: metrics persisted, checkpoint never written
+    shutil.rmtree(store.path("checkpoint_tables"))
+    run_checks_job(spark, specs, "e1", RUN_DATE, store)
+
+    counts2 = {t: store.read(spark, t).count()
+               for t in counts1}
+    assert counts2 == counts1          # replaced, not duplicated
+    # and the checkpoint now exists, so a third run is a no-op
+    out3 = run_checks_job(spark, specs, "e1", RUN_DATE, store)
+    assert out3["results"] == []
+
+
 def test_comparison_fails_when_dev_exceeds_prod(spark, tmp_path):
     dev = str(tmp_path / "dev_big")
     prod = str(tmp_path / "prod_small")
