@@ -80,7 +80,12 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload",
 
 
 def _stable_u32(data: bytes, salt: bytes) -> int:
-    return int.from_bytes(hashlib.sha1(salt + data[:64]).digest()[:4], "big")
+    """First 4 digest bytes (big-endian) of md5(salt + first 64 payload
+    bytes). md5 deliberately (not sha1): DuckDB exposes md5 natively, so
+    the fake-decode dimensions are reproducible in the driver's SQL
+    oracle (dq/queries.py ORACLE_MULTIMODAL) — the surrogate hash choice
+    is what makes the whole decode query oracle-checkable."""
+    return int.from_bytes(hashlib.md5(salt + data[:64]).digest()[:4], "big")
 
 
 def fake_decode_meta(payload: bytes | None) -> tuple[int, int, int] | None:

@@ -986,8 +986,14 @@ FROM pairs QUALIFY rank <= 5
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed top-k (scale path) — approximate; no SQL
-    oracle; recall vs brute force asserted in tests."""
+    """Hyperplane-LSH bucketed top-k (scale path) — approximate vs true
+    top-k, but EXACTLY specified: the seeded plane matrix is embedded as
+    SQL literals in the oracle, which reproduces the same sign-bit
+    signatures, band collisions, and ranked cosines. Sign-bit stability
+    across engines holds because every |dot(vec, plane)| in the corpus
+    clears a margin ~10^8x the summation-order ulp error (asserted in
+    tests/test_dedup_similarity.py). Recall vs brute force additionally
+    asserted in tests."""
     e = _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id")
     queries = (e.filter(F.col("vec_id") < 10)
@@ -995,6 +1001,59 @@ def q_embedding_lsh_topk(spark, sf_dir):
     out = similarity.lsh_topk(e, queries, k=5, n_planes=16, bands=8, dim=64)
     return out.select("query_id", "vec_id",
                       F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
+def _lsh_oracle_sql(n_planes: int, bands: int, dim: int = 64,
+                    seed: int = 7, k: int = 5) -> str:
+    """Exact SQL mirror of the hyperplane-LSH top-k: plane literals →
+    sign-bit signatures → banded chunk collision → candidate cosines →
+    per-query rank. repr() of each float is the shortest round-trip
+    form, so DuckDB parses bit-identical doubles."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    rows = ",\n".join(
+        "({}, [{}])".format(p, ", ".join(repr(v) for v in vec))
+        for p, vec in enumerate(planes))
+    return f"""
+WITH planes(p, pv) AS (VALUES
+{rows}
+), e AS (
+  SELECT vec_id, embedding FROM embeddings
+), sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * pv[i])) >= 0
+              THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS UBIGINT) AS sig
+  FROM e CROSS JOIN planes GROUP BY vec_id
+), keyed AS (
+  SELECT vec_id, c, CAST((sig >> (c * {width})) & {mask} AS INT) AS cv
+  FROM sigs, unnest(generate_series(0, {bands - 1})) AS g(c)
+), cand AS (
+  SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS vec_id
+  FROM keyed kq JOIN keyed kc ON kq.c = kc.c AND kq.cv = kc.cv
+  WHERE kq.vec_id < 10 AND kc.vec_id <> kq.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_sim
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+ORACLE_LSH_TOPK = _lsh_oracle_sql(n_planes=16, bands=8)
+ORACLE_INDEX_TOPK = _lsh_oracle_sql(n_planes=32, bands=4)
 
 
 # =====================================================================
@@ -1019,8 +1078,9 @@ def q_embedding_index_topk(spark, sf_dir):
     build (once per sf_dir) + partition-pruned query — the IVF-style
     scale path where query I/O is the collision buckets, not the
     corpus. Results are identical to scan-time LSH at the same params
-    (asserted in tests); rows-only for the driver (plane signatures are
-    Spark-side numpy, not SQL-expressible)."""
+    (asserted in tests), and exactly mirrored by the driver's SQL
+    oracle via plane literals (see q_embedding_lsh_topk — same margin
+    argument)."""
     import hashlib as _h
     import os
 
@@ -1084,9 +1144,12 @@ def q_quality_filter_pipeline(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic media table (binary
     payload + typed meta struct) → mapInPandas decode (deterministic
-    stub) → per-bucket aggregation. Rows-only (media is not an oracle
-    table; determinism across partitionings is asserted in
-    tests/test_multimodal.py)."""
+    stub) → per-bucket aggregation. Fully oracle-checked: the synthetic
+    payload is ``'MEDIA' || sha256hex(id)`` and the fake decoder derives
+    width/height from md5 of (salt + first 64 payload bytes)
+    (dq/multimodal.py:_stable_u32) — both reproducible in DuckDB, so the
+    exact per-bucket aggregates mirror in SQL (determinism across
+    partitionings is additionally asserted in tests/test_multimodal.py)."""
     from dq import multimodal as mm
     media = mm.synthetic_media(spark, 1000)
     decoded = mm.decode_images(media)
@@ -1099,6 +1162,37 @@ def q_multimodal_decode(spark, sf_dir):
                  F.sum("meta.n_bytes").alias("total_bytes"),
                  F.min("img.width").alias("min_width"),
                  F.max("img.height").alias("max_height")))
+
+
+# The fake decoder's u32 is the FIRST FOUR md5 digest bytes big-endian;
+# DuckDB's md5_number_upper is the first EIGHT digest bytes
+# little-endian — the byte-swap of the low 4 bytes converts.
+_MM_SWAP = ("((({u} & 255) << 24) | ((({u} >> 8) & 255) << 16) "
+            "| ((({u} >> 16) & 255) << 8) | (({u} >> 24) & 255))")
+
+ORACLE_MULTIMODAL = f"""
+WITH m AS (
+  SELECT substring('MEDIA' || sha256(CAST(i AS VARCHAR)), 1, 64) AS prefix,
+         5 + 64 AS n_bytes
+  FROM range(0, 1000) t(i)
+), u AS (
+  SELECT md5_number_upper('w' || prefix) AS uw,
+         md5_number_upper('h' || prefix) AS uh,
+         n_bytes
+  FROM m
+), dims AS (
+  SELECT CAST(64 + {_MM_SWAP.format(u='uw')} % 1984 AS INT) AS w,
+         CAST(64 + {_MM_SWAP.format(u='uh')} % 1984 AS INT) AS h,
+         n_bytes
+  FROM u
+)
+SELECT CAST(floor(w * 4.0 / h) AS INT) AS aspect_bucket,
+       count(*) AS n_images,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       min(w) AS min_width,
+       max(h) AS max_height
+FROM dims GROUP BY 1
+"""
 
 
 def q_scrubbed_fingerprints(spark, sf_dir):
@@ -1181,8 +1275,10 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": ORACLE_SIMHASH,
     "heuristic_rule_summary": ORACLE_HEURISTICS,
     "embedding_topk": ORACLE_EMB_TOPK,
+    "embedding_lsh_topk": ORACLE_LSH_TOPK,
+    "embedding_index_topk": ORACLE_INDEX_TOPK,
+    "multimodal_decode": ORACLE_MULTIMODAL,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
-    # embedding_lsh_topk (plane signatures are Spark-side numpy) /
-    # quality_filter_pipeline (model-scored) / multimodal_decode
-    # (synthetic media): rows-only, documented in each docstring.
+    # quality_filter_pipeline (model-scored): rows-only, documented in
+    # its docstring.
 }

@@ -62,6 +62,60 @@ def test_unicode_letters_count_as_alpha(spark):
     assert r.alpha_frac == 1.0 and r.rule_alpha_frac
 
 
+ADVERSARIAL = [
+    None, "", "   ", "\t", "\tfoo bar", "foo bar\t", "a . b", "a b",
+    "the the the", "only4 1234 5678", "café naïve 中文 words",
+    "في من text", "MIXED Case TEXT", "a  b   c",
+    "tab\tseparated\ttokens", "newline\nseparated", "x" * 5000,
+    ("word " * 200).strip(), "\xa0leading nbsp", "trailing nbsp\xa0",
+    "\x0b vertical \x0c formfeed \r cr", "num3r1c t0kens 42 7",
+    " sentinel tok", "a\x1fb c", "punct!!! ???", "...",
+    "i̇stanbul İstanbul", "ss ß straße", "only.  spaced", "d d",
+]
+
+
+def test_arrow_udf_matches_column_exprs_exactly(spark):
+    """The Arrow-UDF token-stats path (the hot path) must be
+    bit-identical to the Column-expression reference implementation —
+    including the leading/trailing-empty-token split semantics, ASCII-\\s
+    tokenization, \\p{L}/\\p{N} normalization, and both in-band sentinel
+    fallbacks — on adversarial fixtures AND real corpus data."""
+    from pyspark.sql import functions as F
+
+    from dq.heuristics import (RULE_NAMES, STAT_COLS, with_heuristics,
+                               with_heuristics_expr)
+    cols = STAT_COLS + RULE_NAMES
+    frames = [spark.createDataFrame([(t,) for t in ADVERSARIAL],
+                                    "text string"),
+              spark.read.parquet(
+                  "/root/testdata/sf0.001/documents.parquet").select("text")]
+    for df in frames:
+        a = with_heuristics(df).select(
+            *[F.col(c).alias(f"a_{c}") for c in cols]) \
+            .withColumn("_i", F.monotonically_increasing_id())
+        b = with_heuristics_expr(df).select(
+            *[F.col(c).alias(f"b_{c}") for c in cols]) \
+            .withColumn("_i", F.monotonically_increasing_id())
+        j = a.join(b, "_i")
+        cond = None
+        for c in cols:
+            ne = ~(F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")))
+            cond = ne if cond is None else (cond | ne)
+        bad = j.filter(cond).collect()
+        assert not bad, bad[:3]
+
+
+def test_token_stats_is_one_arrow_node(spark):
+    """The stats UDF must appear exactly once in the physical plan (no
+    re-evaluation per referenced struct field) and as ArrowEvalPython,
+    not row-at-a-time BatchEvalPython."""
+    from dq.heuristics import with_heuristics
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    plan = with_heuristics(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_catalog_queries_survive_ansi_on_session(spark):
     """The driver may hand us a Spark-4-default ANSI-on session; the
     stopword map lookup uses try_element_at and every catalog query
