@@ -7,6 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The catalog itself lives in ``dq.queries`` (importable / unit-testable);
 this module is the thin adapter the driver imports.
+
+Session-conf note: every catalog query pins ``spark.sql.ansi.enabled=
+false`` and ``spark.sql.session.timeZone=UTC`` on the session it is
+given and leaves them set (see ``dq.queries._t``) — callers that need
+ANSI afterwards should save/restore those two confs.
 """
 
 from __future__ import annotations

@@ -39,6 +39,47 @@ PIPELINE_DOCS = int(os.environ.get("DQ_BENCH_DOCS", "100000"))
 PAGES_PATH = os.environ.get("DQ_BENCH_PAGES", "/tmp/dq_bench_pages")
 
 
+def host_probe() -> float:
+    """Single-core pure-CPU probe (seconds for a fixed register-only
+    loop). The sandbox host's effective clock swings ~2-6x under
+    sustained load; recording the probe beside every bench run is what
+    lets a regression be told from host weather (round-2's recorded
+    53.6s-vs-remeasured-11.45s pipeline discrepancy was pure weather
+    and cost a review cycle)."""
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.time() - t0, 2)
+
+
+def host_parallel_ceiling(nproc: int) -> float:
+    """Aggregate pure-CPU loop throughput at ``nproc`` pinned processes
+    relative to one — the host's own parallel-compute ceiling (the VM
+    lowers per-core clock under multi-core load, so no workload can
+    scale at 1.0 here; this is the denominator for judging engine
+    scaling). Returns parallel efficiency in [0, 1]."""
+    import subprocess
+    burn = ("import time\n"
+            "t0 = time.time(); n = 0\n"
+            "while time.time() - t0 < 4:\n"
+            "    x = 0\n"
+            "    for i in range(10**6):\n"
+            "        x += i * i\n"
+            "    n += 1\n"
+            "print(n)\n")
+
+    def aggregate(k: int) -> int:
+        procs = [subprocess.Popen(
+            ["taskset", "-c", str(c % os.cpu_count()), "python", "-c", burn],
+            stdout=subprocess.PIPE, text=True) for c in range(k)]
+        return sum(int(p.communicate()[0].strip()) for p in procs)
+
+    many = aggregate(nproc)
+    one = aggregate(1)
+    return round((many / one) / nproc, 3) if one else 0.0
+
+
 def materialize_pages(spark, n: int, parallelism: int) -> None:
     marker = os.path.join(PAGES_PATH, "_N")
     if os.path.exists(marker):
@@ -72,6 +113,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    probe_before = host_probe()
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     from dq.queries import ensure_dq_shipped
@@ -90,6 +132,9 @@ def main() -> None:
     timings["pipeline"] = round(pipe_sec, 3)
     total += pipe_sec
 
+    spark.stop()
+    probe_after = host_probe()
+    ceiling = host_parallel_ceiling(cpus)
     print(json.dumps({
         "metric": ("catalog queries + end-to-end quality-filter pipeline "
                    "(langid+perplexity+rules+dedup+scrub) wall seconds"),
@@ -99,8 +144,14 @@ def main() -> None:
         "sf": sf,
         "pipeline_docs": PIPELINE_DOCS,
         "pipeline_docs_per_sec": round(PIPELINE_DOCS / pipe_sec, 1),
+        # host context: single-core probe seconds before/after (cool box
+        # ~1.3-1.6s; throttled 3-4.6s) and the host's own parallel
+        # efficiency at this core count — read the wall seconds above
+        # relative to these, not in absolute terms
+        "probe_before_sec": probe_before,
+        "probe_after_sec": probe_after,
+        "host_parallel_ceiling": ceiling,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

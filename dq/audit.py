@@ -34,8 +34,17 @@ file commits.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The V1 insertInto fallback must flip the SESSION-global
+# partitionOverwriteMode conf around its write; with concurrent writers
+# (checks_job supports thread-pool table submission) one thread
+# restoring 'static' while another's insertInto(overwrite=True) runs
+# would truncate the whole table instead of overwriting its partitions.
+# One process-wide lock serializes the flip+write+restore window.
+_V1_OVERWRITE_LOCK = threading.Lock()
 
 TABLES = (
     "check_results", "dimension_scores", "summary_metrics_table",
@@ -162,17 +171,19 @@ class AuditStore:
                 if "v1 table" not in str(exc).lower():
                     raise
             # V1 session catalog: positional insertInto with dynamic
-            # partition overwrite (columns reordered to table schema)
+            # partition overwrite (columns reordered to table schema).
+            # Lock held across flip+write+restore: see _V1_OVERWRITE_LOCK.
             cols = spark.table(full).columns
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                  "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            try:
-                df.select(*cols).write.insertInto(full, overwrite=True)
-            finally:
+            with _V1_OVERWRITE_LOCK:
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static")
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                               prev)
+                               "dynamic")
+                try:
+                    df.select(*cols).write.insertInto(full, overwrite=True)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev)
             return
         try:
             df.writeTo(full).append()                    # V2 (Iceberg)

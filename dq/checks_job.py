@@ -23,10 +23,20 @@ tables through the six checks, then store four metric stages via
    (``utils/helpers.py:13-46``).
 
 Scale shape: each table is one distributed aggregation pass; everything
-the driver holds is per-table scalars. Tables are submitted sequentially
-here (matching reference semantics); on a cluster the per-table jobs are
-independent and can be submitted from a thread pool without changing any
-result.
+the driver holds is per-table scalars. Per-table jobs are independent:
+``max_concurrent_tables`` submits them from a thread pool (result lists
+are reassembled in spec order, so output is identical to sequential —
+with hundreds of configured tables the cluster otherwise idles between
+tiny jobs).
+
+Resume vs idempotency grain: metric overwrites are keyed by
+execution_id, but resume skips at TABLE grain — so a partial rerun must
+not overwrite the execution's partitions with only the subset it
+reprocessed. Completed tables' rows are carried forward from the store
+(check_results / freshness / row_count_history) into the rerun's result
+set before any rollup or overwrite, and checkpoint marks are rewritten
+with the union of old and new keys. A rerun therefore converges to the
+same full artifact no matter where the previous attempt died.
 """
 
 from __future__ import annotations
@@ -126,6 +136,71 @@ def save_run_manifest(results: list[dict[str, Any]], out_dir: str,
     return path
 
 
+def _carry_forward(spark: SparkSession, store: AuditStore,
+                   execution_id: str, done: set[tuple[str, str, str]]):
+    """Rows already persisted for this execution's completed tables —
+    re-read from the store so a partial rerun's execution_id-grain
+    dynamic overwrites rewrite them instead of deleting them, and so
+    every rollup/comparison sees the full result set.
+
+    Restricted to CHECKPOINTED tables only: a table whose previous
+    attempt persisted metrics but crashed before its checkpoint mark is
+    reprocessed this run, and carrying its stale rows too would
+    double-count it. Comparison rows are excluded (recomputed over the
+    full carried+new counts). Returns (results_df|None, counts, fresh_df|None).
+
+    Every carried frame is MATERIALIZED (collected and rebuilt) — the
+    caller dynamic-overwrites the very tables these frames read from,
+    and a lazy plan would try to re-read files the overwrite already
+    deleted. The rows are per-table metric scalars, never data-sized.
+    """
+    if not done:
+        return None, [], None
+    keys = sorted(done)
+    carried_df = None
+    prev = store.read(spark, "check_results")
+    if prev is not None:
+        kdf = spark.createDataFrame(
+            keys, "environment string, database string, table string")
+        rows = (
+            prev.filter(F.col("execution_id") == execution_id)
+                .filter(F.col("test_name") != "row_count_comparison")
+                .join(F.broadcast(kdf),
+                      ["environment", "database", "table"])
+                .select(*[f.name for f in scoring.RESULT_SCHEMA.fields])
+                .collect())
+        if rows:
+            carried_df = spark.createDataFrame(rows, scoring.RESULT_SCHEMA)
+    counts: list[tuple[str, str, str, int]] = []
+    hist = store.read(spark, "row_count_history")
+    if hist is not None:
+        hdf = spark.createDataFrame(
+            keys,
+            "environment string, database_name string, table_name string")
+        counts = [
+            (r[0], r[1], r[2], int(r[3]))
+            for r in (hist.filter(F.col("execution_id") == execution_id)
+                      .join(F.broadcast(hdf),
+                            ["environment", "database_name", "table_name"])
+                      .select("environment", "database_name", "table_name",
+                              "row_count").collect())]
+    fresh_df = None
+    fresh = store.read(spark, "freshness")
+    if fresh is not None:
+        fdf = spark.createDataFrame(
+            keys,
+            "environment string, database_name string, table_name string")
+        frows = (fresh.filter(F.col("execution_id") == execution_id)
+                 .join(F.broadcast(fdf),
+                       ["environment", "database_name", "table_name"])
+                 .select(*[c.split()[0] for c in
+                           FRESHNESS_SCHEMA.split(", ")])
+                 .collect())
+        if frows:
+            fresh_df = spark.createDataFrame(frows, FRESHNESS_SCHEMA)
+    return carried_df, counts, fresh_df
+
+
 def run_checks_job(
     spark: SparkSession,
     tables: list[TableSpec],
@@ -135,6 +210,7 @@ def run_checks_job(
     resume: bool = True,
     manifest_dir: str | None = None,
     enabled: dict[str, bool] | None = None,
+    max_concurrent_tables: int = 1,
 ) -> dict[str, Any]:
     """One full check run over every configured table.
 
@@ -143,9 +219,14 @@ def run_checks_job(
     'thresholds': {key: Threshold}, 'manifest_path'}.
     All five audit tables (check_results, dimension_scores,
     summary_metrics_table, summary_metrics_database, freshness) plus
-    row_count_history are appended; re-running the same execution_id
-    after a failure skips already-completed tables and appends nothing
-    twice.
+    row_count_history are persisted via execution_id-keyed dynamic
+    overwrites; re-running the same execution_id after a failure skips
+    already-completed tables, carries their persisted rows forward (see
+    module docstring), and never appends twice.
+
+    ``max_concurrent_tables`` > 1 submits independent per-table check
+    jobs from a thread pool — results are identical (reassembled in
+    spec order; nothing below mutates session state).
     """
     run_ts = dt.datetime.combine(run_date, dt.time(0, 0))
 
@@ -156,26 +237,50 @@ def run_checks_job(
 
     done = completed_tables(spark, store, execution_id) if resume else set()
 
-    results: list[dict[str, Any]] = []
-    counts: list[tuple[str, str, str, int]] = []
-    fresh_keys: list[tuple[str, str, str]] = []
-    for spec in tables:
+    todo = [spec for spec in tables
+            if (spec.environment, spec.database, spec.table) not in done]
+
+    def check_one(spec: TableSpec) -> list[dict[str, Any]]:
         key = (spec.environment, spec.database, spec.table)
-        if key in done:
-            continue
         df = spark.read.parquet(spec.path)
         thr = threshold_for(thresholds, *key)
-        table_results = rules.run_all_checks(
+        return rules.run_all_checks(
             df, spec.database, spec.table, spec.expected_schema,
             run_date=run_date, threshold=thr,
             environment=spec.environment, enabled=enabled)
+
+    if max_concurrent_tables > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_concurrent_tables) as pool:
+            per_table = list(pool.map(check_one, todo))
+    else:
+        per_table = [check_one(spec) for spec in todo]
+
+    results: list[dict[str, Any]] = []
+    counts: list[tuple[str, str, str, int]] = []
+    fresh_keys: list[tuple[str, str, str]] = []
+    for spec, table_results in zip(todo, per_table):
+        key = (spec.environment, spec.database, spec.table)
         results.extend(table_results)
         for r in table_results:
             if r["test_name"] == "row_count_check":
                 counts.append((*key, int(r["actual_row_count"])))
         fresh_keys.append(key)
+    new_results = list(results)          # freshness detail fields live here
 
     results_df = scoring.results_to_df(spark, results)
+
+    # 1b. carry completed tables' persisted rows into this rerun — but
+    # only when something is actually reprocessed: a fully-resumed rerun
+    # recomputes and rewrites nothing (every overwrite below is a no-op
+    # on empty frames), which keeps it a true no-op
+    carried_df, carried_counts, carried_fresh = (
+        _carry_forward(spark, store, execution_id, done) if todo
+        else (None, [], None))
+    if carried_df is not None:
+        results.extend(r.asDict() for r in carried_df.collect())
+        results_df = results_df.unionByName(carried_df)
+    counts.extend(carried_counts)
 
     # 2. DEV↔PROD comparison over the tiny accumulated counts
     comparison_df = None
@@ -222,18 +327,28 @@ def run_checks_job(
         "summary_metrics_table", table_sum.select(*stamp, "*"), ekeys)
     store.overwrite_partitions(
         "summary_metrics_database", db_sum.select(*stamp, "*"), ekeys)
-    frows = freshness_rows(results, execution_id, run_ts)
-    if frows:
-        store.overwrite_partitions(
-            "freshness", spark.createDataFrame(frows, FRESHNESS_SCHEMA),
-            ekeys)
+    # freshness detail fields (latest_date_found, ...) only exist on the
+    # freshly-computed dicts; completed tables' rows come back from the
+    # persisted freshness table itself
+    frows = freshness_rows(new_results, execution_id, run_ts)
+    fresh_df = (spark.createDataFrame(frows, FRESHNESS_SCHEMA)
+                if frows else None)
+    if carried_fresh is not None:
+        fresh_df = (carried_fresh if fresh_df is None
+                    else fresh_df.unionByName(carried_fresh))
+    if fresh_df is not None:
+        store.overwrite_partitions("freshness", fresh_df, ekeys)
     if counts:
         store.overwrite_partitions("row_count_history", spark.createDataFrame(
             [(execution_id, run_ts, e, d, t, c) for e, d, t, c in counts],
             "execution_id string, execution_timestamp timestamp, "
             "environment string, database_name string, table_name string, "
             "row_count long"), ["execution_id", "table_name"])
-    _mark_tables_done(spark, store, execution_id, fresh_keys, run_ts)
+    # checkpoint rewrite must keep the previously-done marks: the
+    # overwrite is execution_id-keyed, so writing only the new keys
+    # would erase resume state for the completed tables
+    _mark_tables_done(spark, store, execution_id,
+                      fresh_keys + (sorted(done) if todo else []), run_ts)
 
     manifest_path = None
     if manifest_dir:

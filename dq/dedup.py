@@ -5,8 +5,9 @@ north-rule generalization of the reference's exact row-dedup,
 ``core/quality_checks.py:861-883`` in /root/reference, which computed
 ``len(df) - len(df.drop_duplicates())`` on a driver-materialized frame):
 
-- **exact**        — 64-bit text signature, groupBy/window. One shuffle on
-                     the hash; keep-first deterministic by id.
+- **exact**        — 64-bit text signature; map-side-combined
+                     groupBy(min id) + keeper join-back (skew-safe;
+                     keep-first deterministic by id).
 - **n-gram Jaccard** — shingle inverted index + self-join; exact
                      similarity, quadratic only within shared shingles.
 - **MinHash + LSH** — per-doc signature (num_hashes permutations via
@@ -35,7 +36,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -56,16 +57,33 @@ def exact_signature(text: Column, id_col: Column) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the first (smallest id) row of every exact-duplicate group.
+    """Keep the first (smallest-id) row of every exact-duplicate group.
 
-    Adds ``is_dup_copy`` (True = shadowed copy). Window over the 64-bit
-    signature → single hash shuffle; AQE splits any skewed bucket.
+    Adds ``is_dup_copy`` (True = shadowed copy). Plan:
+    ``groupBy(signature).agg(min(id))`` + join back — deliberately NOT
+    ``row_number().over(partitionBy(signature))``: a window must
+    colocate every row of a signature in ONE task and window shuffles
+    are not skew-splittable by AQE (AQE skew handling applies to joins
+    and rebalance only), so a viral document duplicated 10^8 times
+    becomes a single-task straggler at web scale. The aggregate form
+    combines map-side (one row per signature per map task crosses the
+    wire regardless of skew) and the join back is AQE-skew-join
+    eligible; when the keeper table is small enough AQE turns it into a
+    broadcast join with no wide shuffle at all. The keeper side is
+    derived from a narrow (id, sig) projection so column pruning keeps
+    upstream UDF stages out of that branch.
+
+    Requires unique ids (duplicate (signature, id) rows would all be
+    marked keepers, where the window form would keep exactly one).
     """
     sig = exact_signature(F.col(text_col), F.col(id_col))
-    w = Window.partitionBy("_sig").orderBy(id_col)
-    return (df.withColumn("_sig", sig)
-              .withColumn("is_dup_copy", F.row_number().over(w) > 1)
-              .drop("_sig"))
+    df = df.withColumn("_sig", sig)
+    keepers = (df.select(id_col, "_sig")
+               .groupBy("_sig")
+               .agg(F.min(id_col).alias("_keep_id")))
+    return (df.join(keepers, "_sig")
+              .withColumn("is_dup_copy", F.col(id_col) != F.col("_keep_id"))
+              .drop("_sig", "_keep_id"))
 
 
 def exact_dup_stats(df: DataFrame, group_cols: list[str],
@@ -156,23 +174,27 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # (Carter-Wegman: perm_i(s) = h1(s) + i*h2(s) mod 2^64, h1/h2 = the two
 # halves of md5) costs ~0.1 ms/doc and is deterministic everywhere.
 
-# mirror the JVM tokenizer exactly: Java regex \s is ASCII-only
-# ([ \t\n\x0B\f\r]) and String.trim strips chars <= U+0020 — Python's
-# default Unicode \s / str.strip() would tokenize NBSP/ideographic-space
-# docs differently from the Column-expression operators these UDFs mirror
+# mirror the Column tokenizer (dq.textstats.tokens) EXACTLY:
+# - Spark SQL trim strips U+0020 only (NOT String.trim's <=0x20 set) —
+#   Python mirror is .strip(' ');
+# - Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); re.ASCII \s is the
+#   identical set (Python's default Unicode \s would split NBSP etc.);
+# - Spark split uses limit=-1 semantics: leading AND trailing empty
+#   fields are kept, which re.split reproduces — a tab-leading doc
+#   tokenizes to ['', ...] on BOTH paths.
 _WS_RE = re.compile(r"\s+", re.ASCII)
-_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
 
 
-def _java_strip(text: str) -> str:
-    return text.strip(_JAVA_TRIM)
+def _py_tokens(text: str | None) -> list[str]:
+    """Python mirror of ``dq.textstats.tokens``: NULL/blank → []."""
+    if text is None or text.strip(" ") == "":
+        return []
+    return _WS_RE.split(text.strip(" "))
 
 
 def _py_shingles(text: str | None, n: int) -> list[str]:
     """Python mirror of :func:`shingles` (same tokens, same separator)."""
-    if not text or not _java_strip(text):
-        return []
-    toks = _WS_RE.split(_java_strip(text))
+    toks = _py_tokens(text)
     if len(toks) < n:
         return []
     return list({SHINGLE_SEP.join(toks[i:i + n])
@@ -277,9 +299,9 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
     one md5 per token, then numpy unpackbits/sum/packbits. NULL/empty
     text → NULL. Same vectorized-UDF rationale as minhash (see above)."""
     def one(text):
-        if not text or not _java_strip(text):
+        toks = _py_tokens(text)
+        if not toks:
             return None
-        toks = _WS_RE.split(_java_strip(text))
         raw = np.vstack([
             np.frombuffer(hashlib.md5(t.encode("utf-8")).digest()[:8],
                           dtype=np.uint8)

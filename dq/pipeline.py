@@ -11,9 +11,11 @@ writes (per-url lineage, per-partition rule metrics, row-count history)
 Scale shape (the plan at 100 TB):
 - one scan of the input; heuristics + UDF scoring are row-local (no
   shuffle), Arrow-batched where Python is required;
-- exactly ONE data-wide shuffle: the dedup window on the 64-bit text
-  signature (null/empty texts get a per-row signature so they cannot
-  form a skewed hash bucket);
+- exactly ONE data-wide exchange: the dedup keeper join on the 64-bit
+  text signature — a map-side-combined aggregate + join back, so a
+  skewed duplicate key is AQE-splittable and a small keeper table
+  broadcasts (null/empty texts get a per-row signature so they cannot
+  form a skewed hash bucket either way);
 - lineage/metrics/docs derive from one persisted scored frame —
   MEMORY_AND_DISK locally, a staged Iceberg table on a cluster;
 - resume anti-join and metrics aggregations touch only tiny frames.
@@ -24,7 +26,7 @@ from __future__ import annotations
 import datetime as dt
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -78,12 +80,26 @@ def score_pages(spark: SparkSession, pages: DataFrame,
     # exact dedup: 64-bit signature; keep-first by url within a signature.
     # Null/empty texts get a unique per-row signature (they are dropped by
     # rule_non_empty anyway) so the null bucket can't skew the shuffle.
-    sig = F.when(F.col("rule_non_empty"), F.xxhash64(F.col("text"))) \
+    # Shape: groupBy(sig).agg(min(url)) + join back, NOT a row_number
+    # window — the agg combines map-side so a pathologically duplicated
+    # text cannot produce a single-task straggler, and the join is
+    # AQE-skew-splittable / broadcastable (see dq.dedup.exact_dedup).
+    # The keeper branch is a narrow (url, sig) projection; the signature
+    # deliberately tests text non-emptiness directly rather than via
+    # rule_non_empty (identical semantics: a non-empty trimmed text
+    # always splits to >=1 token) so the branch carries NO dependency on
+    # the UDF stats column and column pruning keeps the Arrow stages out
+    # of it — otherwise the token/model UDFs would run twice per doc.
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    sig = F.when(has_text, F.xxhash64(F.col("text"))) \
            .otherwise(F.xxhash64(F.col("url"), F.lit("nulltext")))
     df = df.withColumn("text_sig", sig)
-    w = Window.partitionBy("text_sig").orderBy("url")
-    df = df.withColumn("rule_not_dup",
-                       F.row_number().over(w) == 1)
+    keepers = (df.select("url", "text_sig")
+               .groupBy("text_sig")
+               .agg(F.min("url").alias("_keep_url")))
+    df = (df.join(keepers, "text_sig")
+            .withColumn("rule_not_dup", F.col("url") == F.col("_keep_url"))
+            .drop("_keep_url"))
 
     keep = F.lit(True)
     for r in ALL_RULES:

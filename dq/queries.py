@@ -82,11 +82,22 @@ def ensure_dq_shipped(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, pinning the session confs the catalog
+    semantics require.
+
+    SESSION-MUTATION CONTRACT (deliberate, documented at the public
+    entry points): every catalog query sets ``spark.sql.ansi.enabled=
+    false`` (the reference's pandas semantics are non-ANSI — coercing
+    casts, null on bad parse; Spark 4 defaults ANSI on) and
+    ``session.timeZone=UTC`` (parquet timestamps must read identically
+    to the DuckDB oracle), and these settings REMAIN on the session
+    afterwards. Scoping them per-query is not possible with lazy
+    DataFrames — the confs are read at action time, which the caller
+    controls — so callers embedding catalog queries in an ANSI-dependent
+    session must save/restore the two confs themselves.
+    """
     ensure_dq_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the driver may hand us an ANSI-on session (Spark 4 default); the
-    # reference's pandas semantics are non-ANSI (coercing casts, null on
-    # bad parse) so every catalog query pins it off
     spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

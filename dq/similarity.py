@@ -93,22 +93,56 @@ def _out_schema(queries: DataFrame, query_id_col: str,
             f"cos_sim double")
 
 
+def _collect_queries(queries: DataFrame, query_id_col: str, vec_col: str,
+                     max_queries: int, caller: str) -> pd.DataFrame:
+    """Bounded driver-side query collect: LIMIT max+1 so an oversized
+    query set costs one extra row, not an OOM, and fails loudly.
+    Degenerate query vectors (zero / non-finite norm) are dropped here —
+    cosine is undefined for them, and NaN scores would otherwise outrank
+    every real neighbor under Spark's NaN-greatest double ordering."""
+    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("qv"))
+             .limit(max_queries + 1).toPandas())
+    if len(q_pdf) > max_queries:
+        raise ValueError(
+            f"{caller}: query set exceeds max_queries={max_queries}; "
+            "collecting it would risk driver OOM — raise max_queries "
+            "explicitly or use the banded-join path (lsh_topk with a "
+            "larger-than-threshold query set)")
+    if len(q_pdf):
+        norms = np.linalg.norm(_stack(q_pdf["qv"]), axis=1)
+        q_pdf = q_pdf[np.isfinite(norms) & (norms > 0)].reset_index(drop=True)
+    return q_pdf
+
+
+def _valid_rows(mat: np.ndarray) -> np.ndarray:
+    """Row indices with finite positive norm (scorable under cosine)."""
+    norms = np.linalg.norm(mat, axis=1)
+    return np.isfinite(norms) & (norms > 0)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     max_queries: int = 100_000) -> DataFrame:
     """Exact cosine top-k per query.
 
     Output: (query_id, vec_id, cos_sim, rank). Self-matches (same id)
     are excluded; ties broken by ascending corpus id — fully
-    deterministic. The query set is collected/broadcast (it must be
-    small — thousands, not millions; use :func:`lsh_topk` beyond that).
+    deterministic. The query set is collected/broadcast, capped at
+    ``max_queries`` with an explicit error beyond it (use
+    :func:`lsh_topk` for query sets that cannot broadcast). Degenerate
+    vectors (zero/non-finite norm) are excluded on both sides — as
+    queries they produce no rows; as corpus rows they are never
+    candidates (0/0 → NaN would otherwise outrank everything in the
+    desc window and poison ``_select_topk``'s kth threshold).
     Per Arrow batch we emit only the batch-local top-k per query under
     the SAME total order the final window uses (desc score, asc id), so
     the partial pass is lossless and the window input is tiny.
     """
     spark = corpus.sparkSession
-    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
-                            F.col(vec_col).alias("qv")).toPandas())
+    q_pdf = _collect_queries(queries, query_id_col, vec_col,
+                             max_queries, "brute_force_topk")
     out_schema = _out_schema(queries, query_id_col,
                              corpus.schema[id_col].dataType.simpleString())
     if len(q_pdf) == 0:
@@ -126,12 +160,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             cmat = _stack(pdf[vec_col])
             cids = pdf[id_col].to_numpy()
             cnorm = np.linalg.norm(cmat, axis=1)
-            # one matmul scores the whole batch against every query
-            scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
+            valid = np.isfinite(cnorm) & (cnorm > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # one matmul scores the whole batch against every query
+                scores = (cmat @ b_qmat.T) / (cnorm[:, None] * b_qnorm[None, :])
             out_q, out_c, out_s = [], [], []
             for j in range(len(b_qids)):
                 sel = _select_topk(scores[:, j],
-                                   np.nonzero(cids != b_qids[j])[0],
+                                   np.nonzero(valid & (cids != b_qids[j]))[0],
                                    cids, k)
                 if sel.size:
                     out_q.append(np.full(sel.size, b_qids[j]))
@@ -183,12 +219,20 @@ def make_sig_norm_udf(planes: list[list[float]]):
 @F.pandas_udf(T.DoubleType())
 def _cos_pairs(a: pd.Series, b: pd.Series,
                na: pd.Series, nb: pd.Series) -> pd.Series:
-    """Row-wise cosine for candidate pairs: one einsum per Arrow batch."""
+    """Row-wise cosine for candidate pairs: one einsum per Arrow batch.
+    Degenerate pairs (zero/non-finite norm product) score -inf instead
+    of NaN — NaN sorts ABOVE every double in a desc Spark window, so a
+    zero-norm vector would otherwise outrank all real neighbors; -inf
+    ranks last and fails every >= threshold filter."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
     am, bm = _stack(a), _stack(b)
     num = np.einsum("ij,ij->i", am, bm)
-    return pd.Series(num / (na.to_numpy() * nb.to_numpy()))
+    den = na.to_numpy() * nb.to_numpy()
+    good = np.isfinite(den) & (den > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(good, num / np.where(good, den, 1.0), -np.inf)
+    return pd.Series(out)
 
 
 def _banded(df: DataFrame, idc: str, vec_col: str, prefix: str,
@@ -259,6 +303,9 @@ def _lsh_topk_broadcast(corpus: DataFrame, q_pdf: pd.DataFrame, k: int,
             # candidate iff ANY band chunk matches: (B, Q) bool
             cand = (cchunks[:, None, :] == b_qchunks[None, :, :]).any(axis=2)
             cand &= cids[:, None] != b_qids[None, :]
+            # degenerate rows (zero/non-finite norm) are never candidates
+            # — their 0/0 NaN would outrank every real score downstream
+            cand &= _valid_rows(cmat)[:, None]
             rows = np.nonzero(cand.any(axis=1))[0]
             if rows.size == 0:
                 continue
@@ -316,6 +363,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                             F.col(vec_col).alias("qv"))
              .limit(broadcast_threshold + 1).toPandas())
     if len(q_pdf) <= broadcast_threshold:
+        if len(q_pdf):
+            norms = np.linalg.norm(_stack(q_pdf["qv"]), axis=1)
+            q_pdf = q_pdf[np.isfinite(norms) & (norms > 0)] \
+                .reset_index(drop=True)
         if len(q_pdf) == 0:
             return corpus.sparkSession.createDataFrame(
                 [], out_schema + ", rank int")
@@ -327,7 +378,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("c_id") != F.col("q_id"))
             .dropDuplicates(["q_id", "c_id"])
             .withColumn("cos_sim", _cos_pairs(F.col("c_v"), F.col("q_v"),
-                                              F.col("c_n"), F.col("q_n"))))
+                                              F.col("c_n"), F.col("q_n")))
+            # degenerate pairs score -inf in _cos_pairs; drop them so the
+            # join path matches the broadcast path (which never emits them)
+            .filter(F.col("cos_sim") > F.lit(float("-inf"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -385,8 +439,8 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
     out_schema = _out_schema(
         queries, query_id_col,
         idx_full.schema["x_id"].dataType.simpleString())
-    q_pdf = (queries.select(F.col(query_id_col).alias("qid"),
-                            F.col(vec_col).alias("qv")).toPandas())
+    q_pdf = _collect_queries(queries, query_id_col, vec_col,
+                             100_000, "lsh_index_topk")
     if len(q_pdf) == 0:
         return spark.createDataFrame([], out_schema + ", rank int")
     qmat = _stack(q_pdf["qv"])

@@ -44,6 +44,40 @@ def test_catalog_partitioned_table(spark, store):
     assert got.filter("partition_value = DATE'2025-01-01'").count() == 2
 
 
+def test_show_partitions_discovery_and_pruned_read(spark, store):
+    """S2 catalog-metadata partition discovery: SHOW PARTITIONS parse
+    (k=v/k=v → dict, the reference's core/data_fetcher.py:23-58) plus
+    the pruning-predicate read path (:85-88)."""
+    from dq import partitions as P
+
+    df = spark.createDataFrame(
+        [(dt.date(2025, 1, 1), "u1", 1), (dt.date(2025, 1, 1), "u2", 2),
+         (dt.date(2025, 1, 2), "u3", 3)],
+        "partition_value date, url string, n long")
+    store.append("lineage", df)
+    table = store.path("lineage")
+    assert P.table_exists(spark, table)
+    assert not P.table_exists(spark, store.path("nope"))
+
+    parts = sorted(P.show_partitions(spark, table),
+                   key=lambda d: d["partition_value"])
+    assert parts == [{"partition_value": "2025-01-01"},
+                     {"partition_value": "2025-01-02"}]
+
+    one = P.read_partition(spark, table, parts[0])
+    assert {r["url"] for r in one.collect()} == {"u1", "u2"}
+    # the predicate reaches the scan as a partition filter, not a
+    # post-scan row filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2025-01-01" in plan, plan
+
+
+def test_parse_partition_spec_url_decoding():
+    from dq.partitions import parse_partition_spec
+    assert parse_partition_spec("Day=2025-01-01/kind=a%20b") == {
+        "day": "2025-01-01", "kind": "a b"}
+
+
 def test_checks_job_on_catalog_store(spark, store, tmp_path):
     path = str(tmp_path / "t1")
     ts = dt.datetime.combine(RUN_DATE - dt.timedelta(days=1), dt.time(12))

@@ -165,6 +165,70 @@ def test_crashed_rerun_does_not_duplicate(spark, tmp_path, specs):
     assert out3["results"] == []
 
 
+def test_partial_resume_carries_completed_tables_forward(spark, tmp_path,
+                                                         specs):
+    """Resume grain is per-table but overwrite grain is per-execution:
+    a rerun of the same execution_id that skips checkpointed tables and
+    processes a NEW table must not wipe the completed tables' persisted
+    rows, and the rollups/comparison must span old + new."""
+    store = AuditStore(str(tmp_path / "audit"))
+    run_checks_job(spark, specs, "e1", RUN_DATE, store)
+
+    extra = str(tmp_path / "dev_t9")
+    _write_table(spark, extra, 30)
+    specs2 = specs + [TableSpec("DEV", "db1", "t9", extra, SCHEMA)]
+    out = run_checks_job(spark, specs2, "e1", RUN_DATE, store)
+
+    cr = store.read(spark, "check_results") \
+        .filter(F.col("execution_id") == "e1")
+    by_table = {r["table"]: r["cnt"] for r in
+                cr.groupBy("table").agg(F.count("*").alias("cnt")).collect()}
+    # 6 checks per (env, table) pairing + comparison rows: t1 was carried
+    # (2 envs x 6 + its comparison), t9 freshly computed
+    assert by_table.get("t1", 0) >= 12, by_table
+    assert by_table.get("t9", 0) >= 6, by_table
+
+    hist = {(r["environment"], r["table_name"]): r["row_count"]
+            for r in store.read(spark, "row_count_history")
+            .filter(F.col("execution_id") == "e1").collect()}
+    assert hist == {("DEV", "t1"): 50, ("PROD", "t1"): 60, ("DEV", "t9"): 30}
+
+    fresh_tables = {r["table_name"] for r in store.read(spark, "freshness")
+                    .filter(F.col("execution_id") == "e1").collect()}
+    assert fresh_tables == {"t1", "t9"}
+
+    # database rollup spans carried + new tables
+    db = {(r["environment"], r["database"]): r["total_tables"]
+          for r in out["database_summary"].collect()}
+    assert db[("DEV", "db1")] == 2          # t1 (carried) + t9 (new)
+
+    # checkpoint keeps ALL marks → a third run is a full no-op
+    out3 = run_checks_job(spark, specs2, "e1", RUN_DATE, store)
+    assert out3["results"] == []
+
+
+def test_thread_pool_submission_is_result_identical(spark, tmp_path):
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"tbl{i}")
+        _write_table(spark, p, 20 + i)
+        paths.append(p)
+    specs = [TableSpec("DEV", "db1", f"t{i}", p, SCHEMA)
+             for i, p in enumerate(paths)]
+
+    def norm(results):
+        return sorted((r["environment"], r["database"], r["table"],
+                       r["test_name"], r["passed"]) for r in results)
+
+    seq = run_checks_job(spark, specs, "e1", RUN_DATE,
+                         AuditStore(str(tmp_path / "a1")))
+    par = run_checks_job(spark, specs, "e1", RUN_DATE,
+                         AuditStore(str(tmp_path / "a2")),
+                         max_concurrent_tables=4)
+    assert norm(seq["results"]) == norm(par["results"])
+    assert norm(seq["results"])          # non-empty
+
+
 def test_comparison_fails_when_dev_exceeds_prod(spark, tmp_path):
     dev = str(tmp_path / "dev_big")
     prod = str(tmp_path / "prod_small")

@@ -67,6 +67,45 @@ def test_exact_dedup_keep_first(spark):
     assert out == {1: False, 3: True, 2: False, 4: False, 5: False}
 
 
+def test_exact_dedup_skew_safe_plan(spark):
+    """A pathologically duplicated text (30% of all rows share one
+    signature) must flow through a map-side-combined aggregate + join —
+    NOT a signature-partitioned window, which AQE cannot skew-split."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("viral duplicated document"))
+         .otherwise(F.concat(F.lit("uniq "), F.col("id").cast("string")))
+         .alias("text"))
+    out = dedup.exact_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan      # map-side combine before exchange
+    assert "Window" not in plan, plan
+    agg = out.agg(F.sum(F.col("is_dup_copy").cast("long")).alias("dups"),
+                  F.count(F.lit(1)).alias("total")).collect()[0]
+    assert agg["total"] == n
+    assert agg["dups"] == 3 * n // 10 - 1   # one keeper in the viral group
+    keepers = out.filter((F.col("text") == "viral duplicated document")
+                         & ~F.col("is_dup_copy")).collect()
+    assert [r["doc_id"] for r in keepers] == [0]   # smallest id wins
+
+
+def test_python_tokenizer_mirrors_column_tokenizer(spark):
+    """The minhash/simhash pandas UDFs tokenize in Python but claim the
+    exact semantics of the Column tokenizer (space-only trim, ASCII \\s
+    split, leading/trailing empty fields kept). Assert shingle-set
+    equality on the control-char edge cases where a wrong mirror
+    (e.g. Java String.trim's <=0x20 strip) diverges."""
+    docs = [None, "", "   ", "\t", "\tfoo bar baz qux", "foo bar baz\t",
+            "a b c d", "nbsp\xa0in token here ok", "x\x0by z w v", "one",
+            "a  b c d e", "\x0b lead vt a b c"]
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    col_sh = {r["id"]: sorted(r["sh"]) for r in df.select(
+        "id", dedup.shingles(F.col("text"), 3).alias("sh")).collect()}
+    for i, t in enumerate(docs):
+        assert col_sh[i] == sorted(dedup._py_shingles(t, 3)), (i, repr(t))
+
+
 # --------------------------------------------------- minhash / jaccard
 
 def test_minhash_recall_vs_exact_jaccard(spark, docs):
@@ -254,6 +293,56 @@ def test_lsh_index_topk_matches_scan_lsh_and_prunes(spark, emb, tmp_path):
     pruned = num_files(idx.filter(cond))
     full = num_files(idx)
     assert pruned < full / 4, (pruned, full)
+
+
+def test_brute_force_topk_query_collect_guard(spark, emb):
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_topk(
+            emb, emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=1, max_queries=10)
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """Zero-norm embeddings have no defined cosine: as corpus rows they
+    must never appear as neighbors (0/0 NaN sorts ABOVE every double in
+    a desc window), as queries they must produce no output rows, and
+    the near-dup path must not emit NaN pairs."""
+    import numpy as np
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(6)]
+    rows.append((99, [0.0] * 64))                     # degenerate corpus row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter(F.col("vec_id").isin(0, 99))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    for out in (similarity.brute_force_topk(df, queries, k=3),
+                similarity.lsh_topk(df, queries, k=3, n_planes=8,
+                                    bands=8, dim=64)):
+        got = out.collect()
+        assert all(r["vec_id"] != 99 for r in got), got
+        assert all(r["query_id"] != 99 for r in got), got
+        assert all(np.isfinite(r["cos_sim"]) for r in got), got
+        assert any(r["query_id"] == 0 for r in got)   # real query still works
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=-2.0, n_planes=4, bands=4, dim=64).collect()
+    assert all(np.isfinite(r["cos_sim"]) for r in pairs), pairs
+    assert not any(99 in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_lsh_plane_sign_margin_supports_sql_oracle(spark):
+    """The embedding-LSH oracles embed the plane matrix as SQL literals;
+    their exactness rests on every |dot(vec, plane)| clearing a margin
+    far above cross-engine summation-order error (~1e-15 relative for
+    64-dim O(1) dots). Assert the margin on every testdata corpus for
+    both plane sets used by the catalog queries."""
+    import numpy as np
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        pdf = (spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+               .toPandas())
+        mat = similarity._stack(pdf["embedding"])
+        for n_planes in (16, 32):
+            pm = np.asarray(similarity.hyperplanes(64, n_planes, 7))
+            margin = np.abs(mat @ pm.T).min()
+            assert margin > 1e-9, (sf, n_planes, margin)
 
 
 def test_embedding_near_dup_pairs_planted(spark):
