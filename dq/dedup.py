@@ -108,6 +108,24 @@ def shingles(text: Column, n: int = 3) -> Column:
         starts, lambda i: F.array_join(F.slice(toks, i, n), SHINGLE_SEP)))
 
 
+def make_shingles_udf(n: int = 3):
+    """Arrow-vectorized form of :func:`shingles` (same tokens, same
+    separator, same distinct set — sorted for run-to-run determinism).
+
+    Exists because the Column form's ``transform``/``slice``/
+    ``array_join`` lambdas are interpreted expressions (HOFs never enter
+    whole-stage codegen): measured 4.6s vs 0.3s for 260k shingles at
+    local[32]. The Python tokenizer mirror is bit-parity-tested against
+    the Column tokenizer (tests/test_dedup_similarity.py), and every
+    consumer is order-insensitive (explode → groupBy), so the two forms
+    are result-identical."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([sorted(_py_shingles(t, n)) for t in texts],
+                         dtype=object)
+    return sh
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   min_num: int = 1, min_den: int = 2,
@@ -132,11 +150,16 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     for web-scale corpora — or use :func:`minhash_lsh_pairs`.
     """
     base = df.select(F.col(id_col).alias("_id"),
-                     shingles(F.col(text_col), n).alias("_sh"))
+                     F.col(text_col).alias("_text"))
     if num_partitions:
         # small single-file inputs read as ONE split; spread the
         # shingle computation and join across the cluster
         base = base.repartition(num_partitions, "_id")
+    # Arrow-UDF shingling (result-identical to the Column form, ~15x
+    # faster — see make_shingles_udf); the self-join's two sides share
+    # one shuffle via ReusedExchange so shingles compute once per doc
+    base = base.select("_id", make_shingles_udf(n)(F.col("_text"))
+                       .alias("_sh"))
     # carry the set size on every posting: two extra longs per posting
     # buys us zero back-joins (and zero shingle recomputes) for sizes
     inv = base.select("_id", F.size("_sh").alias("_size"),
@@ -217,19 +240,33 @@ def make_minhash_udf(num_hashes: int = 64, n: int = 3):
     ``(h1 + i*h2).min(axis=0)`` over all ``num_hashes`` permutations
     (uint64 wraparound, reinterpreted as int64 for the Spark column).
     Empty/NULL text → empty array.
+
+    The md5 loop is the hot path, and web corpora repeat shingles
+    heavily across documents (boilerplate, templates), so each DISTINCT
+    shingle in the Arrow batch is hashed exactly once (pd.factorize —
+    hash-based, no sort) and per-doc signatures gather from that table.
+    Bit-identical to hashing per occurrence; memory stays bounded by
+    the per-doc (s × num_hashes) temp, never a batch-wide matrix.
     """
     idx = np.arange(num_hashes, dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
-        def one(text):
-            sh = _py_shingles(text, n)
-            if not sh:
-                return []
-            h = _md5_u64_pairs(sh)
-            sig = (h[:, 0:1] + idx[None, :] * h[:, 1:2]).min(axis=0)
-            return sig.view(np.int64).tolist()
-        return texts.map(one)
+        per_doc = [_py_shingles(t, n) for t in texts]
+        flat = [s for doc in per_doc for s in doc]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            h = _md5_u64_pairs(list(uniques))        # (U, 2), U = distinct
+        out, pos = [], 0
+        for doc in per_doc:
+            if not doc:
+                out.append([])
+                continue
+            hv = h[codes[pos:pos + len(doc)]]        # (s, 2)
+            pos += len(doc)
+            sig = (hv[:, 0:1] + idx[None, :] * hv[:, 1:2]).min(axis=0)
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out, dtype=object)
 
     return minhash
 
@@ -295,22 +332,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 @F.pandas_udf(T.LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash (Charikar 2002): per token, md5-derived 64 bits;
-    per bit, sum of ±1 votes; fingerprint bit = (sum > 0). Vectorized:
-    one md5 per token, then numpy unpackbits/sum/packbits. NULL/empty
-    text → NULL. Same vectorized-UDF rationale as minhash (see above)."""
-    def one(text):
-        toks = _py_tokens(text)
-        if not toks:
-            return None
-        raw = np.vstack([
-            np.frombuffer(hashlib.md5(t.encode("utf-8")).digest()[:8],
-                          dtype=np.uint8)
-            for t in toks])                              # (n_tokens, 8)
-        bits = np.unpackbits(raw, axis=1).astype(np.int32)   # (n, 64)
-        votes = (2 * bits - 1).sum(axis=0)
+    per bit, sum of ±1 votes (term frequency weights — duplicate tokens
+    vote once per occurrence); fingerprint bit = (sum > 0). NULL/empty
+    text → NULL. Each DISTINCT token in the Arrow batch is md5'd exactly
+    once (natural-language token frequency is Zipfian, so distinct ≪
+    total); per-doc votes gather the ±1 bit rows by factorized code,
+    preserving multiplicity — bit-identical to hashing per occurrence."""
+    per_doc = [_py_tokens(t) for t in texts]
+    flat = [t for doc in per_doc for t in doc]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        raw = np.empty((len(uniques), 8), dtype=np.uint8)
+        for j, s in enumerate(uniques):
+            raw[j] = np.frombuffer(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], dtype=np.uint8)
+        bits2 = 2 * np.unpackbits(raw, axis=1).astype(np.int32) - 1  # (U, 64)
+    out, pos = [], 0
+    for doc in per_doc:
+        if not doc:
+            out.append(None)
+            continue
+        votes = bits2[codes[pos:pos + len(doc)]].sum(axis=0)
+        pos += len(doc)
         fp = np.packbits((votes > 0).astype(np.uint8))
-        return int(fp.view(">u8")[0].astype(np.uint64).view(np.int64))
-    return texts.map(one)
+        out.append(int(fp.view(">u8")[0].astype(np.uint64).view(np.int64)))
+    return pd.Series(out, dtype=object)
 
 
 def simhash64(text: Column) -> Column:
