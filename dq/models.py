@@ -137,6 +137,50 @@ class LangIdModel:
             return "unk"
         return self.langs[int(sums.argmax())]
 
+    def predict_batch(self, texts) -> list:
+        """Batch form of :func:`predict` — one UTF-32 encode, one LUT
+        gather, and one table gather for the WHOLE Arrow batch, with the
+        per-document reduction done on a contiguous slice of the shared
+        score matrix.
+
+        Bit-identical to mapping :func:`predict` over the batch: each
+        document's ``scores[s:e]`` is a C-contiguous view summed with
+        the same ``ndarray.sum(axis=0)`` reduction the single-doc path
+        applies to its fresh ``table[codes]`` array (same shape, same
+        strides, same pairwise-summation blocking), and boundary
+        trigrams between concatenated documents are excluded by
+        construction (each doc contributes exactly ``len(s)-2`` trigram
+        rows). Verified by an exhaustive equality test over the
+        synthetic corpus + adversarial strings
+        (tests/test_scrub_models.py)."""
+        out = [None] * len(texts)
+        segs: list[str] = []
+        pos: list[int] = []
+        for i, t in enumerate(texts):
+            if not isinstance(t, str) or not t:
+                out[i] = "unk"
+                continue
+            segs.append(" " + t[:MAX_LANGID_CHARS].lower() + " ")
+            pos.append(i)
+        if not segs:
+            return out
+        big = "".join(segs)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+        idx = self._lut[np.minimum(cp, len(self._lut) - 1)]
+        codes = (idx[:-2] * self._A + idx[1:-1]) * self._A + idx[2:]
+        scores = self._table[codes]              # (total_trigrams, L)
+        lens = np.fromiter((len(s) for s in segs), dtype=np.int64,
+                           count=len(segs))
+        starts = np.zeros(len(segs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        langs, cutoff = self.langs, UNK_SCORE_CUTOFF
+        for s0, n2, i in zip(starts.tolist(), (lens - 2).tolist(), pos):
+            sums = scores[s0:s0 + n2].sum(axis=0)
+            mx = sums.max()
+            out[i] = ("unk" if mx / n2 < cutoff
+                      else langs[int(sums.argmax())])
+        return out
+
 
 class NGramLM:
     """Interpolated bigram LM with add-k smoothing (KenLM-shaped scorer)."""
@@ -217,6 +261,52 @@ class NGramLM:
             lp += self._logp_bi[ids[:-1], ids[1:]].sum()
         return math.exp(-lp / len(toks))
 
+    def perplexity_batch(self, texts) -> list:
+        """Batch form of :func:`perplexity`: each DISTINCT token in the
+        Arrow batch resolves through the vocab dict exactly once
+        (``pd.factorize`` — web/natural text is Zipfian, so distinct ≪
+        total), then per-document ids gather from the factorized code
+        array.
+
+        Bit-identical to mapping :func:`perplexity`: token ids are the
+        same integers, and each doc's bigram log-prob sum runs the same
+        ``ndarray.sum()`` over the same fresh fancy-indexed array the
+        single-doc path builds. Verified by an exhaustive equality test
+        (tests/test_scrub_models.py)."""
+        out = [None] * len(texts)
+        per_doc: list[list[str]] = []
+        pos: list[int] = []
+        inf = float("inf")
+        for i, t in enumerate(texts):
+            if not isinstance(t, str) or not t:
+                out[i] = inf
+                continue
+            toks = _TOKEN_RE.findall(t.lower())[:MAX_PPL_TOKENS]
+            if not toks:
+                out[i] = inf
+                continue
+            per_doc.append(toks)
+            pos.append(i)
+        if not per_doc:
+            return out
+        flat = [t for doc in per_doc for t in doc]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        vid, unk = self._vid, self._unk
+        uid = np.fromiter((vid.get(t, unk) for t in uniques),
+                          dtype=np.int64, count=len(uniques))
+        ids_flat = uid[codes]
+        logp_uni, logp_bi = self._logp_uni, self._logp_bi
+        p0 = 0
+        for doc, i in zip(per_doc, pos):
+            n = len(doc)
+            ids = ids_flat[p0:p0 + n]
+            p0 += n
+            lp = logp_uni[ids[0]]
+            if n > 1:
+                lp += logp_bi[ids[:-1], ids[1:]].sum()
+            out[i] = math.exp(-lp / n)
+        return out
+
 
 # Module-level singletons: trained once per process, deterministic.
 LANGID_MODEL = LangIdModel.train()
@@ -230,7 +320,8 @@ def make_langid_udf(spark: SparkSession):
     @F.pandas_udf(T.StringType())
     def langid(texts: pd.Series) -> pd.Series:
         model = bc.value
-        return texts.map(model.predict)
+        return pd.Series(model.predict_batch(texts.tolist()),
+                         index=texts.index)
 
     return langid
 
@@ -241,6 +332,7 @@ def make_perplexity_udf(spark: SparkSession):
     @F.pandas_udf(T.DoubleType())
     def perplexity(texts: pd.Series) -> pd.Series:
         model = bc.value
-        return texts.map(model.perplexity)
+        return pd.Series(model.perplexity_batch(texts.tolist()),
+                         index=texts.index, dtype=np.float64)
 
     return perplexity

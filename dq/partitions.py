@@ -70,8 +70,14 @@ def partition_filter(partition: dict[str, str]) -> Column:
 
 
 def read_partition(spark: SparkSession, table: str,
-                   partition: dict[str, str]):
+                   partition: dict[str, str], limit: int | None = None):
     """One partition of a catalog table, pruned at the scan
     (``fetch_data``'s partition path, ``core/data_fetcher.py:60-121``,
-    without the driver materialization)."""
-    return spark.read.table(table).filter(partition_filter(partition))
+    without the driver materialization).
+
+    ``limit`` is the reference's sampling ``LIMIT n`` suffix
+    (``core/data_fetcher.py:91``) as ``df.limit`` — Spark plans it as
+    CollectLimit/LocalLimit, stopping the scan early instead of
+    materializing the partition."""
+    df = spark.read.table(table).filter(partition_filter(partition))
+    return df.limit(limit) if limit is not None else df

@@ -166,9 +166,15 @@ def run_pipeline(
     # dropped docs carry none) — the memory-pressure lever that showed up
     # as sub-linear thread scaling at local[32]
     scored = score_pages(spark, pages.drop("partition_value"), cfg)
+    # the keep-condition goes INSIDE the UDF input: Spark extracts pandas
+    # UDFs out of `when` branches into an unconditional ArrowEvalPython
+    # node, so `when(keep, scrub_udf(text))` still regex-scans every
+    # DROPPED doc — feeding `when(keep, text)` (null otherwise) instead
+    # skips them inside the batch (na_action='ignore'), byte-identically
+    # for kept docs
     scored = (scored
               .withColumn("text_scrubbed",
-                          F.when(F.col("keep"), scrub_udf(F.col("text"))))
+                          scrub_udf(F.when(F.col("keep"), F.col("text"))))
               .withColumn("scrub_changed",
                           F.when(F.col("keep"),
                                  F.col("text_scrubbed") != F.col("text")))

@@ -171,11 +171,18 @@ FROM events GROUP BY 1, 2
 
 
 def q_freshness(spark, sf_dir):
-    """A5/F2-F4 freshness: max(to_date(ts)) == run_date - 1, per type."""
+    """A5/F2-F4 freshness: max(to_date(ts)) == run_date - 1, per type.
+
+    F6: ``latest_ts_str`` is the reference's
+    ``strftime('%Y-%m-%d %H:%M:%S')`` timestamp formatting
+    (core/quality_checks.py:805-808) as distributed ``F.date_format``
+    (session timeZone pinned UTC by ``_t``)."""
     e = _t(spark, sf_dir, "events")
     yesterday = F.date_sub(F.to_date(F.lit(RUN_DATE)), 1)
     return (e.groupBy("event_type")
-            .agg(F.max(F.to_date("ts")).alias("latest_date"))
+            .agg(F.max(F.to_date("ts")).alias("latest_date"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("latest_ts_str"))
             .withColumn("expected_date", yesterday)
             .withColumn("date_difference_days",
                         F.datediff("latest_date", "expected_date"))
@@ -186,6 +193,7 @@ def q_freshness(spark, sf_dir):
 ORACLE_FRESHNESS = f"""
 SELECT event_type,
        max(CAST(ts AS DATE)) AS latest_date,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts_str,
        CAST(DATE '{RUN_DATE}' - INTERVAL 1 DAY AS DATE) AS expected_date,
        datediff('day', CAST(DATE '{RUN_DATE}' - INTERVAL 1 DAY AS DATE),
                 max(CAST(ts AS DATE))) AS date_difference_days,
@@ -445,13 +453,17 @@ def q_test_type_stats(spark, sf_dir):
                "source": "string", "n_chars": "bigint",
                "date_insertion": "timestamp"}
     without_di = {"doc_id": "bigint", "text": "string", "lang": "string"}
-    results = (rules.run_all_checks(d, "testdb", "documents", with_di,
-                                    run_date=run_date)
-               + rules.run_all_checks(d, "testdb", "documents2", without_di,
-                                      run_date=run_date))
-    rdf = spark.createDataFrame(
-        [(r["test_name"], r["passed"]) for r in results],
-        "test_name string, passed boolean")
+    schema = "test_name string, passed boolean"
+    frames = [
+        spark.createDataFrame([(r["test_name"], r["passed"]) for r in
+                               rules.run_all_checks(d, "testdb", scope, exp,
+                                                    run_date=run_date)],
+                              schema)
+        for scope, exp in [("documents", with_di),
+                           ("documents2", without_di)]]
+    # SO2 result-list merge (reference utils/helpers.py:159-172): the
+    # per-scope result frames concatenate by column NAME, not position
+    rdf = frames[0].unionByName(frames[1])
     return test_type_stats(rdf)
 
 

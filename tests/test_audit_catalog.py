@@ -71,6 +71,13 @@ def test_show_partitions_discovery_and_pruned_read(spark, store):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "2025-01-01" in plan, plan
 
+    # P3: the reference's sampling `LIMIT n` (core/data_fetcher.py:91)
+    # plans as an early-stopping limit, still partition-pruned
+    lim = P.read_partition(spark, table, parts[0], limit=1)
+    assert lim.count() == 1
+    lplan = lim._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in lplan and "PartitionFilters: [" in lplan, lplan
+
 
 def test_parse_partition_spec_url_decoding():
     from dq.partitions import parse_partition_spec

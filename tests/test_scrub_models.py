@@ -62,6 +62,35 @@ def test_perplexity_orders_languages():
     assert math.isinf(LM_MODEL.perplexity("!!! ... ###"))
 
 
+ADVERSARIAL = [
+    None, "", " ", "\t\n", "a", "ab", "the", "İstanbul İİİ",  # İ.lower() len 2
+    "café ́combining", "emoji 😀 mix the and of",
+    " nbsp led", "\x0bvt\x0cff", "le the der في",
+    "x" * 1000, ("the and of " * 200).strip(),   # > MAX truncation paths
+    "!!! ... ###", "123 456 789",
+]
+
+
+def test_batch_scorers_bit_identical(spark):
+    """predict_batch / perplexity_batch must equal the single-doc
+    scorers EXACTLY (==, not approx) — the batch forms reuse the same
+    per-doc numpy reductions over contiguous views, so any divergence
+    is a real bug, not float noise."""
+    from dq.synth import webpages
+    texts = [r.text for r in webpages(spark, 3000).select("text")
+             .collect()] + ADVERSARIAL
+    # langid: exact label equality
+    want = [LANGID_MODEL.predict(t) for t in texts]
+    got = LANGID_MODEL.predict_batch(texts)
+    assert got == want
+    # perplexity: exact float equality (inf included)
+    want_p = [LM_MODEL.perplexity(t) for t in texts]
+    got_p = LM_MODEL.perplexity_batch(texts)
+    assert len(got_p) == len(want_p)
+    for g, w in zip(got_p, want_p):
+        assert (math.isinf(g) and math.isinf(w)) or g == w
+
+
 def test_models_deterministic_rebuild():
     from dq.models import LangIdModel, NGramLM
     assert LangIdModel.train().profiles == LANGID_MODEL.profiles
