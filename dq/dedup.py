@@ -224,13 +224,19 @@ def _py_shingles(text: str | None, n: int) -> list[str]:
                  for i in range(len(toks) - n + 1)})
 
 
-def _md5_u64_pairs(items: list[str]) -> "np.ndarray":
+def _md5_digests(items) -> "np.ndarray":
+    """(len(items), 16) uint8 array of md5 digests — one bytes-join then
+    one frombuffer (measured 3x faster than a per-item
+    ``np.frombuffer``/row-assign loop; the md5 calls themselves are the
+    irreducible floor)."""
+    md5 = hashlib.md5
+    buf = b"".join([md5(s.encode("utf-8")).digest() for s in items])
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+
+
+def _md5_u64_pairs(items) -> "np.ndarray":
     """(len(items), 2) uint64 array: the two halves of md5(item)."""
-    out = np.empty((len(items), 2), dtype=np.uint64)
-    for j, s in enumerate(items):
-        out[j] = np.frombuffer(hashlib.md5(s.encode("utf-8")).digest(),
-                               dtype=np.uint64)
-    return out
+    return _md5_digests(items).view(np.uint64)
 
 
 def make_minhash_udf(num_hashes: int = 64, n: int = 3):
@@ -256,7 +262,7 @@ def make_minhash_udf(num_hashes: int = 64, n: int = 3):
         flat = [s for doc in per_doc for s in doc]
         if flat:
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            h = _md5_u64_pairs(list(uniques))        # (U, 2), U = distinct
+            h = _md5_u64_pairs(uniques)              # (U, 2), U = distinct
         out, pos = [], 0
         for doc in per_doc:
             if not doc:
@@ -342,10 +348,7 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
     flat = [t for doc in per_doc for t in doc]
     if flat:
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-        raw = np.empty((len(uniques), 8), dtype=np.uint8)
-        for j, s in enumerate(uniques):
-            raw[j] = np.frombuffer(
-                hashlib.md5(s.encode("utf-8")).digest()[:8], dtype=np.uint8)
+        raw = _md5_digests(uniques)[:, :8]           # first 8 digest bytes
         bits2 = 2 * np.unpackbits(raw, axis=1).astype(np.int32) - 1  # (U, 64)
     out, pos = [], 0
     for doc in per_doc:

@@ -49,6 +49,17 @@ TOXIC_RE = re.compile(
 # (common) PII-free document. Byte-identity is preserved by construction.
 _PII_PREFILTER = re.compile(r"[@\d]")
 
+# Toxic prefilter: on pure-ASCII text, IGNORECASE literal matching
+# reduces to ASCII case, so TOXIC_RE can only match if lower(text)
+# contains one of the lexicon words as a substring (the \b boundaries
+# only narrow that). isascii + lower + 5 C-speed substring scans beat
+# the interpreted alternation scan ~14x on clean documents. Non-ASCII
+# text skips the shortcut: sre's Unicode IGNORECASE folds equivalences
+# lower() does not (ſ→s, K→k, ı→i), so only the full regex is sound
+# there. Byte-identity is preserved by construction (prefilter is a
+# strict over-approximation of the regex's match opportunities).
+_TOXIC_SUBSTRINGS = tuple(w.lower() for w in TOXIC_LEXICON)
+
 
 def scrub_string(text: str | None) -> str | None:
     """Pure-Python scrub — the byte-identity contract."""
@@ -60,6 +71,10 @@ def scrub_string(text: str | None) -> str | None:
         out = PHONE_RE.sub(PHONE_TOKEN, out)
     else:
         out = text
+    if out.isascii():
+        low = out.lower()
+        if not any(w in low for w in _TOXIC_SUBSTRINGS):
+            return out
     return TOXIC_RE.sub(TOXIC_TOKEN, out)
 
 
