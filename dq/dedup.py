@@ -21,6 +21,12 @@ north-rule generalization of the reference's exact row-dedup,
 - **embedding cosine** — delegated to dq.similarity (hyperplane-LSH
                      bucketed or brute-force top-k).
 
+Every pair-producing family composes with :func:`connected_components`
+(iterative min-label propagation → cluster per doc) and
+:func:`drop_near_duplicates` (keep the min-id representative per
+cluster) — the transitive-closure step that turns pair lists into an
+actual dedup policy.
+
 Execution split: exact dedup and Jaccard shingling are native Column
 expressions (JVM-side, oracle-testable); MinHash/SimHash signatures run
 in Arrow-vectorized pandas UDFs with numpy (interpreted JVM higher-order
@@ -424,3 +430,101 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                     ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"]))
+
+
+# ------------------------------------------------- connected components ---
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster the near-dup pair graph: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the minimum doc id in the connected component.
+
+    The missing last step of every pair-producing dedup family above
+    (Jaccard / MinHash-LSH / SimHash / embedding): near-dup relations are
+    not transitive per-pair, but dedup policy is applied per CLUSTER —
+    keep one representative per component, drop the rest (see
+    :func:`drop_near_duplicates`). The reference stops at duplicate
+    *counts* (core/quality_checks.py:861-883); a training-data pipeline
+    needs the clusters.
+
+    Algorithm: iterative min-label propagation ("hash-to-min" family,
+    Rastogi et al., ICDE'13) expressed as DataFrame joins so every sweep
+    is a shuffle-partitioned join + map-side-combined min-aggregate —
+    no driver-side graph. Each sweep updates
+    ``label(v) ← min(label(v), min over neighbors label(n))`` where the
+    neighbor set includes the label edge ``v ↔ label(v)`` itself: once
+    two vertices share a label the label vertex acts as a hub, so long
+    chains collapse in ~O(log diameter) sweeps rather than O(diameter).
+    LSH dedup components are near-cliques (diameter ≤ 2-3 typical), so
+    2-3 sweeps converge in practice; ``max_iter`` only bounds
+    pathological chain graphs.
+
+    Scale notes: per sweep, lineage is truncated with an eager
+    ``localCheckpoint`` — iterative self-joins otherwise compound the
+    logical plan exponentially and re-execute every prior sweep.
+    (``localCheckpoint`` stores blocks on executors; on a preemptible
+    cluster use ``sparkContext.setCheckpointDir`` + ``checkpoint()``
+    for a reliable store.) Convergence is detected with a count on the
+    already-checkpointed frame, so each sweep costs exactly one join
+    job. Only vertices appearing in ``pairs`` are returned — a vertex
+    with no near-dup pair is trivially its own singleton cluster.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` sweeps
+    (returning partially-propagated labels would silently split
+    clusters).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("v"))
+              .distinct()
+              .select("v", F.col("v").alias("comp")))
+    for _ in range(max_iter):
+        # label edges (v ↔ comp) act as hub shortcuts; self-loops add
+        # nothing and are dropped before the union
+        lbl = labels.filter(F.col("v") != F.col("comp"))
+        e = edges.unionByName(
+            lbl.select(F.col("v").alias("src"), F.col("comp").alias("dst"))
+        ).unionByName(
+            lbl.select(F.col("comp").alias("src"), F.col("v").alias("dst"))
+        )
+        nbr = (e.join(labels.select(F.col("v").alias("dst"),
+                                    F.col("comp").alias("_nc")), "dst")
+               .groupBy("src").agg(F.min("_nc").alias("_nmin")))
+        nxt = (labels.join(nbr.select(F.col("src").alias("v"), "_nmin"),
+                           "v", "left")
+               .select("v",
+                       F.least("comp", F.coalesce("_nmin", "comp"))
+                       .alias("comp"),
+                       (F.coalesce("_nmin", "comp") < F.col("comp"))
+                       .cast("long").alias("_chg"))
+               .localCheckpoint(eager=True))
+        changed = nxt.agg(F.sum("_chg")).first()[0] or 0
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            return labels.select(F.col("v").alias("doc_id"),
+                                 F.col("comp").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} sweeps")
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Keep one representative (the minimum id) per near-dup cluster.
+
+    Composition of :func:`connected_components` + left-anti join: every
+    row of ``df`` whose id is a non-representative member of some
+    cluster is dropped; representatives and singletons (ids in no pair)
+    pass through unchanged. Deterministic: the survivor of a cluster is
+    always its lexicographically smallest id.
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b,
+                              max_iter=max_iter)
+    losers = (cc.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

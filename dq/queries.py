@@ -801,6 +801,68 @@ WHERE intersection * 3 >= (sa.sz + sb.sz - intersection) * 1
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the exact Jaccard pair graph (sim ≥ 1/3,
+    same params as ngram_jaccard_pairs) closed under transitivity via
+    :func:`dq.dedup.connected_components` — an iterative min-label
+    propagation whose DataFrame loop (join + map-side-combined min agg
+    per sweep, lineage truncated per sweep) is mirrored exactly by a
+    DuckDB recursive CTE: cluster_id = min doc_id reachable in the pair
+    graph. Output: one row per clustered doc (singletons excluded) with
+    its cluster representative and cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", n=3, min_num=1, min_den=3,
+        num_partitions=spark.sparkContext.defaultParallelism)
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id") \
+             .select("doc_id", "cluster_id", "cluster_size")
+
+
+# Same shingle/pair CTEs as ORACLE_JACCARD; the recursive `reach` term
+# computes, for every clustered doc, the full set of ids reachable in
+# the (symmetrized) pair graph — min(reach) IS the propagated min label.
+ORACLE_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), chr(9247)) AS s
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE intersection * 3 >= (sa.sz + sb.sz - intersection) * 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+), comp AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) candidate pairs. The signature math is
     md5-derived (Carter-Wegman h1 + i*h2 mod 2^64, dq/dedup.py), so the
@@ -1261,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_flag_summary": q_quality_flag_summary,
     "pii_scan": q_pii_scan,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "heuristic_rule_summary": q_heuristic_rule_summary,
@@ -1294,6 +1357,7 @@ ORACLES: dict[str, str] = {
     "quality_flag_summary": ORACLE_QUALITY_FLAGS,
     "pii_scan": ORACLE_PII,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_clusters": ORACLE_CLUSTERS,
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "simhash_pairs": ORACLE_SIMHASH,
     "heuristic_rule_summary": ORACLE_HEURISTICS,

@@ -357,3 +357,85 @@ def test_embedding_near_dup_pairs_planted(spark):
                                                 n_planes=16, bands=8,
                                                 dim=64).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+# ------------------------------------------------- connected components
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and isolated pair each collapse to min-id label."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),          # chain a-b-c-d
+         ("x", "y"), ("y", "z"), ("x", "z"),          # clique x-y-z
+         ("p", "q")],                                  # pair
+        "id_a string, id_b string")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("x", "x"), ("y", "x"), ("z", "x"),
+                   ("p", "p"), ("q", "p")}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """40-node path graph: hub shortcuts collapse it well inside
+    max_iter (plain min-propagation would need 40 sweeps)."""
+    ids = [f"n{i:03d}" for i in range(40)]
+    chain = spark.createDataFrame(list(zip(ids, ids[1:])),
+                                  "id_a string, id_b string")
+    out = dedup.connected_components(chain, max_iter=12).collect()
+    assert len(out) == 40
+    assert all(r.cluster_id == "n000" for r in out)
+
+
+def test_connected_components_empty_and_nonconvergence(spark):
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert dedup.connected_components(empty).count() == 0
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+
+
+def test_connected_components_vs_union_find(spark, docs):
+    """Cross-check against a driver-side union-find on the REAL pair
+    graph (exact Jaccard pairs over the sf0.001 corpus)."""
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text",
+                                n=3, min_num=1, min_den=3)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "fixture corpus must contain near-dup pairs"
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    comp: dict[str, list[str]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    for members in comp.values():
+        rep = min(members)
+        for v in members:
+            want[v] = rep
+
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_drop_near_duplicates(spark):
+    docs = spark.createDataFrame([(i,) for i in "abcdxyzpqmn"],
+                                 "doc_id string")
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("p", "q")],
+        "id_a string, id_b string")
+    kept = sorted(r.doc_id
+                  for r in dedup.drop_near_duplicates(docs, pairs).collect())
+    # cluster reps a/p/x survive; singletons m/n untouched
+    assert kept == ["a", "m", "n", "p", "x"]
