@@ -136,7 +136,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   min_num: int = 1, min_den: int = 2,
                   num_partitions: int | None = None,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = None,
+                  hash_postings: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similar pairs with sim ≥ min_num/min_den.
 
     Plan: explode distinct shingles → inverted index → self-equi-join on
@@ -154,6 +155,17 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     (union sizes still use full shingle sets), so reported similarity is
     a lower bound; leave it None for the exact/oracle semantics, set it
     for web-scale corpora — or use :func:`minhash_lsh_pairs`.
+
+    ``hash_postings=True`` replaces each posting's shingle string with
+    JVM-side ``xxhash64(shingle)`` before the exchange: the shuffled key
+    shrinks from ~25 B of string to 8 B and the self-join compares
+    longs, cutting exchange volume ~3x at corpus scale. Intersection
+    counts are then exact only up to 64-bit collisions among the
+    corpus's DISTINCT shingles (birthday bound: P(any collision) ≈
+    U²/2⁶⁵ ≈ 3e-5 at U = 10⁹ distinct shingles, and a collision merely
+    perturbs one intersection count by 1) — keep the default for the
+    bit-exact/oracle semantics, turn it on for 100-TB runs where the
+    postings exchange dominates.
     """
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(text_col).alias("_text"))
@@ -170,6 +182,9 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # buys us zero back-joins (and zero shingle recomputes) for sizes
     inv = base.select("_id", F.size("_sh").alias("_size"),
                       F.explode("_sh").alias("_s"))
+    if hash_postings:
+        # codegen'd long key before the exchange; see docstring
+        inv = inv.withColumn("_s", F.xxhash64("_s"))
     if max_shingle_df is not None:
         # the hot set is tiny by construction (only df>cap shingles) →
         # broadcast anti-join, no extra data-side shuffle

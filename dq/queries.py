@@ -699,6 +699,46 @@ FROM t
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by total occurrences with
+    document frequency — the explode→agg→total-order-top-k shape every
+    tokenizer/vocab build runs at corpus scale. Tie-break is TOTAL
+    (occurrences desc, token asc) so the cutoff row is engine-
+    independent; empty tokens (leading/trailing-whitespace artifacts of
+    the exact split semantics) are excluded on both sides."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(textstats.tokens(F.col("text"))).alias("token"))
+    return (toks.filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("occurrences"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.col("occurrences").desc(), F.col("token"))
+            .limit(100))
+
+
+ORACLE_VOCAB = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text) <> ''
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, u.token
+  FROM t, unnest(toks) AS u(token)
+  WHERE u.token <> ''
+)
+SELECT token,
+       count(*) AS occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY occurrences DESC, token
+LIMIT 100
+"""
+
+
 def q_quality_flag_summary(spark, sf_dir):
     """Quality scoring rollup: per-source counts passing each integer-
     exact quality gate (length / mean token length / distinct ratio)."""
@@ -1321,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "doc_token_stats": q_doc_token_stats,
     "quality_flag_summary": q_quality_flag_summary,
+    "vocab_topk": q_vocab_topk,
     "pii_scan": q_pii_scan,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1355,6 +1396,7 @@ ORACLES: dict[str, str] = {
     "json_extract": ORACLE_JSON,
     "doc_token_stats": ORACLE_TOKEN_STATS,
     "quality_flag_summary": ORACLE_QUALITY_FLAGS,
+    "vocab_topk": ORACLE_VOCAB,
     "pii_scan": ORACLE_PII,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "dedup_clusters": ORACLE_CLUSTERS,

@@ -439,3 +439,14 @@ def test_drop_near_duplicates(spark):
                   for r in dedup.drop_near_duplicates(docs, pairs).collect())
     # cluster reps a/p/x survive; singletons m/n untouched
     assert kept == ["a", "m", "n", "p", "x"]
+
+
+def test_jaccard_hash_postings_identical(spark, docs):
+    """hash_postings shrinks the exchange key to a long; results must be
+    identical on real data (collisions astronomically unlikely)."""
+    kw = dict(n=3, min_num=1, min_den=3)
+    a = dedup.jaccard_pairs(docs, "doc_id", "text", **kw)
+    b = dedup.jaccard_pairs(docs, "doc_id", "text", hash_postings=True, **kw)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
