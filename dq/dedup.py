@@ -494,9 +494,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.col("src").alias("dst")))
              .distinct()
              .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("v"))
-              .distinct()
-              .select("v", F.col("v").alias("comp")))
+    # sweep 0 folded into initialization: label₀(v) = min(v, N(v)) via
+    # the map-side-combined min-agg alone (no join needed yet — every
+    # vertex's own id is its starting label)
+    labels = (edges.groupBy(F.col("src").alias("v"))
+              .agg(F.min("dst").alias("_nmin"))
+              .select("v", F.least("v", "_nmin").alias("comp")))
     for _ in range(max_iter):
         # label edges (v ↔ comp) act as hub shortcuts; self-loops add
         # nothing and are dropped before the union
