@@ -684,7 +684,7 @@ ORACLE_TOKEN_STATS = """
 WITH t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks,
          text
   FROM documents
@@ -694,7 +694,7 @@ SELECT doc_id,
        len(list_distinct(toks)) AS n_distinct_tokens,
        coalesce(length(text), 0) AS n_chars_actual,
        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_len_sum,
-       md5(trim(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fingerprint
+       md5(trim(lower(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fingerprint
 FROM t
 """
 
@@ -721,7 +721,7 @@ ORACLE_VOCAB = """
 WITH t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), tok AS (
@@ -756,7 +756,7 @@ ORACLE_QUALITY_FLAGS = """
 WITH t AS (
   SELECT source,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), s AS (
@@ -818,7 +818,7 @@ ORACLE_JACCARD = """
 WITH t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -868,7 +868,7 @@ ORACLE_CLUSTERS = """
 WITH RECURSIVE t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -923,7 +923,7 @@ ORACLE_MINHASH = """
 WITH t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '\\s+')
+              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -979,7 +979,7 @@ def _simhash_oracle_sql() -> str:
     fp_sum = " + ".join(f"b{k}" for k in range(64))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
   WHERE text IS NOT NULL AND trim(text) <> ''
 ), h AS (
@@ -1037,7 +1037,7 @@ WITH t AS (
   -- form by definition — relevant for case-folds that change length)
   SELECT source, text,
          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(lower(trim(text)), '\\s+')
+              THEN regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), s AS (

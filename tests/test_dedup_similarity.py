@@ -450,3 +450,24 @@ def test_jaccard_hash_postings_identical(spark, docs):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b and rows_a
+
+
+def test_duckdb_oracle_tokenizer_mirrors_spark_on_vt(spark):
+    """The oracle SQL splits on the explicit class [ \\t\\n\\x0b\\f\\r]+
+    (RE2's \\s has no \\x0b, unlike Java/Python ASCII \\s) — assert the
+    DuckDB split agrees with the Column tokenizer on every control-char
+    edge case, including vertical tab, which the driver corpus never
+    contains."""
+    import duckdb
+    docs = ["\tfoo bar", "x\x0by z", "\x0b lead vt", "a\x0c b\r\nc",
+            "plain text here", "nbsp\xa0stays one-token"]
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    spark_toks = {r["id"]: r["t"] for r in df.select(
+        "id", textstats.tokens(F.col("text")).alias("t")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(docs):
+        got = con.execute(
+            r"SELECT CASE WHEN $1 IS NOT NULL AND trim($1) <> '' THEN "
+            r"regexp_split_to_array(trim($1), '[ \t\n\x0b\f\r]+') "
+            r"ELSE [] END", [t]).fetchone()[0]
+        assert got == spark_toks[i], (i, repr(t), got, spark_toks[i])
