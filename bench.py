@@ -141,6 +141,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # suite size grows round-over-round (r2: 30, r3: 32 + pipeline) —
+        # compare totals only at equal n_queries
+        "n_queries": len(timings),
         "sf": sf,
         "pipeline_docs": PIPELINE_DOCS,
         "pipeline_docs_per_sec": round(PIPELINE_DOCS / pipe_sec, 1),
