@@ -24,6 +24,7 @@ Design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,6 +95,44 @@ def windowed_rule_metrics(scored: DataFrame,
                     F.col("w.end").alias("window_end"),
                     "total", "kept",
                     *[F.col(f"pass__{r}") for r in rules]))
+
+
+def running_key_stats(df: DataFrame, key_col: str = "source",
+                      keep_col: str = "keep") -> DataFrame:
+    """Custom stateful operator: CUMULATIVE per-key keep/total tallies
+    across every micro-batch the stream has ever processed — what a
+    per-domain quality dashboard reads, and something no built-in
+    windowed aggregation expresses (windows bound state by event time;
+    this state is a running total that never closes).
+
+    ``applyInPandasWithState``: groups are shuffled to state-store
+    partitions, the handler receives each key's Arrow batches plus its
+    ``GroupState``, and the updated (total, kept, batches) tuple is
+    persisted in the checkpoint's state store — so totals survive query
+    restarts and ``availableNow`` catch-up runs continue from the prior
+    run's counts (asserted in tests). State size is O(distinct keys),
+    independent of stream length; emit is one row per key per batch
+    (output mode 'update').
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, total long, kept long, batches long"
+    state_schema = "total long, kept long, batches long"
+
+    def update(key, pdfs, state):
+        total = kept = 0
+        for pdf in pdfs:
+            total += len(pdf)
+            kept += int(pdf[keep_col].sum())
+        t, k, b = state.get if state.exists else (0, 0, 0)
+        t, k, b = t + total, k + kept, b + 1
+        state.update((t, k, b))
+        yield pd.DataFrame([{key_col: key[0], "total": t,
+                             "kept": k, "batches": b}])
+
+    return (df.select(key_col, keep_col).groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
 
 
 def run_stream_to_audit(spark: SparkSession, input_path: str,

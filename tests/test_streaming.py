@@ -96,3 +96,49 @@ def test_streaming_dedup_bounded(spark, tmp_path_factory):
     # 5 identical texts collapse to 1 survivor; 3 unique all survive
     sigs = [r["text_sig"] for r in got]
     assert len(sigs) == len(set(sigs)) == 4
+
+
+def test_running_key_stats_state_survives_restart(spark, tmp_path_factory):
+    """applyInPandasWithState: cumulative per-key totals persist in the
+    checkpoint state store — a second availableNow run over NEW files
+    continues from the first run's counts."""
+    landing = str(tmp_path_factory.mktemp("rks_landing"))
+    cp = str(tmp_path_factory.mktemp("rks_cp"))
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(rows, "domain string, keep boolean") \
+             .coalesce(1).write.mode("append").parquet(landing)
+
+    def run(qname):
+        stream = (spark.readStream.schema("domain string, keep boolean")
+                  .parquet(landing))
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (streaming.running_key_stats(stream, "domain", "keep")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # last emission per key = the running totals after this run
+        latest = {}
+        for r in rows:
+            if r["domain"] not in latest or r["batches"] > latest[r["domain"]]["batches"]:
+                latest[r["domain"]] = r
+        return latest
+
+    write_batch([("a.com", True), ("a.com", False), ("b.org", True)], "f1")
+    first = run("rks_run1")
+    assert (first["a.com"]["total"], first["a.com"]["kept"]) == (2, 1)
+    assert (first["b.org"]["total"], first["b.org"]["kept"]) == (1, 1)
+
+    write_batch([("a.com", True), ("c.net", False)], "f2")
+    second = run("rks_run2")
+    # a.com continued from state (2+1 total, 1+1 kept); b.org untouched
+    # this run so it emits nothing new; c.net starts fresh
+    assert (second["a.com"]["total"], second["a.com"]["kept"]) == (3, 2)
+    assert second["a.com"]["batches"] >= 2
+    assert (second["c.net"]["total"], second["c.net"]["kept"]) == (1, 0)
+    assert "b.org" not in second
