@@ -500,6 +500,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.groupBy(F.col("src").alias("v"))
               .agg(F.min("dst").alias("_nmin"))
               .select("v", F.least("v", "_nmin").alias("comp")))
+    prev = None
     for _ in range(max_iter):
         # label edges (v ↔ comp) act as hub shortcuts; self-loops add
         # nothing and are dropped before the union
@@ -521,8 +522,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                        .cast("long").alias("_chg"))
                .localCheckpoint(eager=True))
         changed = nxt.agg(F.sum("_chg")).first()[0] or 0
+        # sweep k materialized → sweep k-1's blocks are dead weight;
+        # free them so peak storage is 2x the label frame, not
+        # sweeps x label frame (O(|V|) per sweep at web scale)
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
         labels = nxt.drop("_chg")
         if changed == 0:
+            # the returned plan reads only the final checkpoint's
+            # blocks (lineage truncated), so the edge blocks can go too
+            edges.unpersist()
             return labels.select(F.col("v").alias("doc_id"),
                                  F.col("comp").alias("cluster_id"))
     raise RuntimeError(
