@@ -129,7 +129,7 @@ def q_null_empty_profile(spark, sf_dir):
 ORACLE_NULL_EMPTY = """
 SELECT count(*) AS total_rows,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
-       CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+       CAST(sum(CASE WHEN text IS NOT NULL AND trim(text, ' ') = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars,
@@ -415,9 +415,9 @@ ORACLE_TABLE_CHECKS = """
 WITH stats AS (
   SELECT count(*) AS total,
          count(doc_id) AS nn_doc_id,
-         sum(CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END) AS good_text,
-         sum(CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END) AS good_lang,
-         sum(CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS good_source,
+         sum(CASE WHEN text IS NOT NULL AND trim(text, ' ') <> '' THEN 1 ELSE 0 END) AS good_text,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang, ' ') <> '' THEN 1 ELSE 0 END) AS good_lang,
+         sum(CASE WHEN source IS NOT NULL AND trim(source, ' ') <> '' THEN 1 ELSE 0 END) AS good_source,
          count(n_chars) AS nn_n_chars,
          count(DISTINCT (doc_id, text, lang, source, n_chars)) AS distinct_rows
   FROM documents
@@ -471,9 +471,9 @@ ORACLE_TEST_TYPE_STATS = f"""
 WITH stats2 AS (
   SELECT count(*) AS total,
          count(doc_id) AS nn_doc_id,
-         sum(CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN 1 ELSE 0 END) AS good_text,
-         sum(CASE WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 1 ELSE 0 END) AS good_lang,
-         sum(CASE WHEN source IS NOT NULL AND trim(source) <> '' THEN 1 ELSE 0 END) AS good_source,
+         sum(CASE WHEN text IS NOT NULL AND trim(text, ' ') <> '' THEN 1 ELSE 0 END) AS good_text,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang, ' ') <> '' THEN 1 ELSE 0 END) AS good_lang,
+         sum(CASE WHEN source IS NOT NULL AND trim(source, ' ') <> '' THEN 1 ELSE 0 END) AS good_source,
          count(n_chars) AS nn_n_chars,
          count(DISTINCT (doc_id, text, lang, source, n_chars)) AS distinct_rows
   FROM documents
@@ -683,8 +683,8 @@ def q_doc_token_stats(spark, sf_dir):
 ORACLE_TOKEN_STATS = """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks,
          text
   FROM documents
@@ -694,7 +694,7 @@ SELECT doc_id,
        len(list_distinct(toks)) AS n_distinct_tokens,
        coalesce(length(text), 0) AS n_chars_actual,
        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_len_sum,
-       md5(trim(lower(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fingerprint
+       md5(trim(lower(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS fingerprint
 FROM t
 """
 
@@ -720,8 +720,8 @@ def q_vocab_topk(spark, sf_dir):
 ORACLE_VOCAB = """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), tok AS (
@@ -755,8 +755,8 @@ def q_quality_flag_summary(spark, sf_dir):
 ORACLE_QUALITY_FLAGS = """
 WITH t AS (
   SELECT source,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), s AS (
@@ -817,8 +817,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 ORACLE_JACCARD = """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -867,8 +867,8 @@ def q_dedup_clusters(spark, sf_dir):
 ORACLE_CLUSTERS = """
 WITH RECURSIVE t AS (
   SELECT doc_id,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -922,8 +922,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 ORACLE_MINHASH = """
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), sh AS (
@@ -979,9 +979,9 @@ def _simhash_oracle_sql() -> str:
     fp_sum = " + ".join(f"b{k}" for k in range(64))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
   FROM documents
-  WHERE text IS NOT NULL AND trim(text) <> ''
+  WHERE text IS NOT NULL AND trim(text, ' ') <> ''
 ), h AS (
   SELECT doc_id, md5_number_upper(tok) AS u FROM toks
 ), votes AS (
@@ -1036,13 +1036,13 @@ WITH t AS (
   -- before tokenizing (token lengths are measured on the lowercased
   -- form by definition — relevant for case-folds that change length)
   SELECT source, text,
-         CASE WHEN text IS NOT NULL AND trim(text) <> ''
-              THEN regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')
               ELSE [] END AS toks
   FROM documents
 ), s AS (
   SELECT source,
-         (text IS NOT NULL AND trim(text) <> '') AS has_text,
+         (text IS NOT NULL AND trim(text, ' ') <> '') AS has_text,
          len(toks) AS n,
          coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS lensum,
          CASE WHEN text IS NOT NULL

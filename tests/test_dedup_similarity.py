@@ -467,7 +467,33 @@ def test_duckdb_oracle_tokenizer_mirrors_spark_on_vt(spark):
     con = duckdb.connect()
     for i, t in enumerate(docs):
         got = con.execute(
-            r"SELECT CASE WHEN $1 IS NOT NULL AND trim($1) <> '' THEN "
-            r"regexp_split_to_array(trim($1), '[ \t\n\x0b\f\r]+') "
+            r"SELECT CASE WHEN $1 IS NOT NULL AND trim($1, ' ') <> '' THEN "
+            r"regexp_split_to_array(trim($1, ' '), '[ \t\n\x0b\f\r]+') "
             r"ELSE [] END", [t]).fetchone()[0]
         assert got == spark_toks[i], (i, repr(t), got, spark_toks[i])
+
+
+def test_tokenizer_three_way_fuzz(spark):
+    """Seeded fuzz over nasty unicode: the Column tokenizer, the Python
+    mirror, and the DuckDB oracle split must agree token-for-token on
+    every input (one Spark job for all cases)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xDED)
+    pool = (" \t\n\x0b\f\r\xa0  　" 
+            "abcXYZ09ſKı💚日本—.,")
+    docs = ["".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+            for _ in range(400)]
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    spark_toks = {r["id"]: r["t"] for r in df.select(
+        "id", textstats.tokens(F.col("text")).alias("t")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(docs):
+        py = dedup._py_tokens(t)
+        duck = con.execute(
+            r"SELECT CASE WHEN $1 IS NOT NULL AND trim($1, ' ') <> '' THEN "
+            r"regexp_split_to_array(trim($1, ' '), '[ \t\n\x0b\f\r]+') "
+            r"ELSE [] END", [t]).fetchone()[0]
+        assert spark_toks[i] == py == duck, (i, repr(t))
