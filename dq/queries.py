@@ -1376,6 +1376,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
 
+# Known residual cross-engine divergences (probed, documented, cannot
+# occur in the driver corpus):
+# - DuckDB lower() uses simple Unicode case mapping; Spark/Java and
+#   Python apply the special rules for U+0130 İ → 'i'+U+0307 (two code
+#   points) and Greek word-final Σ → ς. RE2 has no lookahead, so the
+#   context-sensitive sigma rule is not cheaply expressible in the SQL
+#   mirror. Affects oracles that lower() text (fingerprint, heuristics)
+#   ONLY for documents containing İ or word-final Σ.
+# - Engine-verified equal on the rest of the probe set (ı ſ K ẞ Σ ǅ Ⅷ
+#   ﬀ ß, emoji): simple mappings agree, as do length() code-point
+#   counts. trim()/\s differences are FIXED above (explicit ' ' charset
+#   and [ \t\n\x0b\f\r] class); the three-way tokenizer fuzz in
+#   tests/test_dedup_similarity.py guards them.
 ORACLES: dict[str, str] = {
     "null_empty_profile": ORACLE_NULL_EMPTY,
     "exact_dup_stats": ORACLE_DUP_STATS,
