@@ -20,8 +20,16 @@ from pyspark.sql import functions as F
 
 def salted_repartition(df: DataFrame, num_partitions: int,
                        key_col: str = "url", salt: int = 0) -> DataFrame:
-    """Evenly spread rows regardless of domain skew."""
-    return (df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)),
-                                          num_partitions))
+    """Evenly spread rows regardless of domain skew.
+
+    The salt column spans the full 64-bit hash domain — deliberately NOT
+    ``pmod(hash, num_partitions)``: with only ``num_partitions`` distinct
+    salt values, the partitioner's second hash collides some of them into
+    the same task (birthday at n of n), leaving empty partitions and
+    doubled ones (measured: 10 of 16 non-empty, max 2x mean). With the
+    full domain every task averages over ~rows/num_partitions
+    independent values, so sizes concentrate tightly around the mean.
+    """
+    return (df.withColumn("_salt", F.xxhash64(F.col(key_col), F.lit(salt)))
               .repartition(num_partitions, "_salt")
               .drop("_salt"))
