@@ -903,6 +903,34 @@ FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
 """
 
 
+def q_near_dedup_keep(spark, sf_dir):
+    """The full near-dedup POLICY end-to-end: pair graph → clusters →
+    drop every non-representative member (:func:`dq.dedup.
+    drop_near_duplicates` left-anti join) → per-source survivor counts.
+    What a training-data pipeline actually ships; the oracle replays
+    the same closure with the recursive CTE and a NOT IN anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", n=3, min_num=1, min_den=3,
+        num_partitions=spark.sparkContext.defaultParallelism)
+    kept = dedup.drop_near_duplicates(d, pairs, id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"))
+
+
+ORACLE_NEAR_DEDUP_KEEP = ORACLE_CLUSTERS.replace(
+    """SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
+""",
+    """SELECT d.source, count(*) AS kept_docs
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp
+                       WHERE doc_id <> cluster_id)
+GROUP BY d.source
+""")
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) candidate pairs. The signature math is
     md5-derived (Carter-Wegman h1 + i*h2 mod 2^64, dq/dedup.py), so the
@@ -1365,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "near_dedup_keep": q_near_dedup_keep,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "heuristic_rule_summary": q_heuristic_rule_summary,
@@ -1413,6 +1442,7 @@ ORACLES: dict[str, str] = {
     "pii_scan": ORACLE_PII,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "dedup_clusters": ORACLE_CLUSTERS,
+    "near_dedup_keep": ORACLE_NEAR_DEDUP_KEEP,
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "simhash_pairs": ORACLE_SIMHASH,
     "heuristic_rule_summary": ORACLE_HEURISTICS,
