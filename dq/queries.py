@@ -1209,6 +1209,72 @@ ORACLE_LSH_TOPK = _lsh_oracle_sql(n_planes=16, bands=8)
 ORACLE_INDEX_TOPK = _lsh_oracle_sql(n_planes=32, bands=4)
 
 
+NEAR_DUP_THRESHOLD = 0.4      # sf0.01 margin |cos-th| ≥ 5e-4 (tested)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate PAIRS (corpus vs itself) via the
+    same hyperplane banding as the top-k queries — the embedding leg of
+    the dedup family, now oracle-gated: plane literals reproduce the
+    banded candidate set exactly, and the 0.4 threshold clears every
+    fixture cosine by ≥5e-4 (≫ f64 summation-order ulp; asserted in
+    tests), so the pair set and round(cos,6) match bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(
+        e, threshold=NEAR_DUP_THRESHOLD, n_planes=16, bands=4)
+    return out.select("id_a", "id_b",
+                      F.round("cos_sim", 6).alias("cos_sim_r6"))
+
+
+def _near_dup_oracle_sql(n_planes: int = 16, bands: int = 4,
+                         dim: int = 64, seed: int = 7,
+                         threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    """Pairs analog of :func:`_lsh_oracle_sql`: banded self-join on the
+    sign-bit chunk keys, id_a < id_b, cosine ≥ threshold."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    rows = ",\n".join(
+        "({}, [{}])".format(p, ", ".join(repr(v) for v in vec))
+        for p, vec in enumerate(planes))
+    return f"""
+WITH planes(p, pv) AS (VALUES
+{rows}
+), e AS (
+  SELECT vec_id, embedding FROM embeddings
+), sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * pv[i])) >= 0
+              THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS UBIGINT) AS sig
+  FROM e CROSS JOIN planes GROUP BY vec_id
+), keyed AS (
+  SELECT vec_id, c, CAST((sig >> (c * {width})) & {mask} AS INT) AS cv
+  FROM sigs, unnest(generate_series(0, {bands - 1})) AS g(c)
+), cand AS (
+  SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+  FROM keyed ka JOIN keyed kb ON ka.c = kb.c AND ka.cv = kb.cv
+  WHERE ka.vec_id < kb.vec_id
+), scored AS (
+  SELECT cand.id_a, cand.id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_sim
+  FROM cand JOIN e a ON a.vec_id = cand.id_a
+            JOIN e b ON b.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim_r6
+FROM scored WHERE cos_sim >= {threshold!r}
+"""
+
+
+ORACLE_NEAR_DUP = _near_dup_oracle_sql()
+
+
 # =====================================================================
 # North-rule flagship: the full quality-filter pipeline over documents
 # =====================================================================
@@ -1400,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_index_topk": q_embedding_index_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "quality_filter_pipeline": q_quality_filter_pipeline,
     "multimodal_decode": q_multimodal_decode,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
@@ -1449,6 +1516,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": ORACLE_EMB_TOPK,
     "embedding_lsh_topk": ORACLE_LSH_TOPK,
     "embedding_index_topk": ORACLE_INDEX_TOPK,
+    "embedding_near_dup": ORACLE_NEAR_DUP,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in

@@ -497,3 +497,24 @@ def test_tokenizer_three_way_fuzz(spark):
             r"regexp_split_to_array(trim($1, ' '), '[ \t\n\x0b\f\r]+') "
             r"ELSE [] END", [t]).fetchone()[0]
         assert spark_toks[i] == py == duck, (i, repr(t))
+
+
+def test_near_dup_threshold_margin_supports_sql_oracle(spark):
+    """The embedding_near_dup oracle compares float cosines against the
+    0.4 threshold and rounds to 6 dp in BOTH engines; exactness needs
+    every CANDIDATE pair's cosine to clear the threshold and the
+    nearest rounding boundary by far more than summation-order ulp
+    (~1e-13). Assert both margins on the driver-gate fixture (sf0.01)."""
+    from dq.queries import NEAR_DUP_THRESHOLD
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cand = similarity.embedding_near_dup_pairs(
+        e, threshold=-2.0, n_planes=16, bands=4)   # keep ALL candidates
+    cos = [r["cos_sim"] for r in cand.collect()]
+    assert cos, "banding produced no candidate pairs"
+    th_margin = min(abs(c - NEAR_DUP_THRESHOLD) for c in cos)
+    assert th_margin > 1e-6, th_margin
+    # distance from the nearest half-ulp-of-6dp rounding boundary
+    import math
+    rb_margin = min(abs(c * 1e6 - math.floor(c * 1e6) - 0.5) for c in cos)
+    assert rb_margin > 1e-6, rb_margin
