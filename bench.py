@@ -141,8 +141,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        # suite size grows round-over-round (r2: 30, r3: 32 + pipeline) —
-        # compare totals only at equal n_queries
+        # the suite grows round-over-round — compare totals only at
+        # equal n_queries (includes the pipeline entry)
         "n_queries": len(timings),
         "sf": sf,
         "pipeline_docs": PIPELINE_DOCS,

@@ -496,47 +496,56 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              .localCheckpoint(eager=True))
     # sweep 0 folded into initialization: label₀(v) = min(v, N(v)) via
     # the map-side-combined min-agg alone (no join needed yet — every
-    # vertex's own id is its starting label)
+    # vertex's own id is its starting label). Checkpointed: sweep 1
+    # references it four times (both hub-edge arms, the nbr join, and
+    # the nxt join) and would otherwise re-run the aggregate per use.
     labels = (edges.groupBy(F.col("src").alias("v"))
               .agg(F.min("dst").alias("_nmin"))
-              .select("v", F.least("v", "_nmin").alias("comp")))
-    prev = None
-    for _ in range(max_iter):
-        # label edges (v ↔ comp) act as hub shortcuts; self-loops add
-        # nothing and are dropped before the union
-        lbl = labels.filter(F.col("v") != F.col("comp"))
-        e = edges.unionByName(
-            lbl.select(F.col("v").alias("src"), F.col("comp").alias("dst"))
-        ).unionByName(
-            lbl.select(F.col("comp").alias("src"), F.col("v").alias("dst"))
-        )
-        nbr = (e.join(labels.select(F.col("v").alias("dst"),
-                                    F.col("comp").alias("_nc")), "dst")
-               .groupBy("src").agg(F.min("_nc").alias("_nmin")))
-        nxt = (labels.join(nbr.select(F.col("src").alias("v"), "_nmin"),
-                           "v", "left")
-               .select("v",
-                       F.least("comp", F.coalesce("_nmin", "comp"))
-                       .alias("comp"),
-                       (F.coalesce("_nmin", "comp") < F.col("comp"))
-                       .cast("long").alias("_chg"))
-               .localCheckpoint(eager=True))
-        changed = nxt.agg(F.sum("_chg")).first()[0] or 0
-        # sweep k materialized → sweep k-1's blocks are dead weight;
-        # free them so peak storage is 2x the label frame, not
-        # sweeps x label frame (O(|V|) per sweep at web scale)
-        if prev is not None:
+              .select("v", F.least("v", "_nmin").alias("comp"))
+              .localCheckpoint(eager=True))
+    prev = labels
+    try:
+        for _ in range(max_iter):
+            # label edges (v ↔ comp) act as hub shortcuts; self-loops
+            # add nothing and are dropped before the union
+            lbl = labels.filter(F.col("v") != F.col("comp"))
+            e = edges.unionByName(
+                lbl.select(F.col("v").alias("src"),
+                           F.col("comp").alias("dst"))
+            ).unionByName(
+                lbl.select(F.col("comp").alias("src"),
+                           F.col("v").alias("dst"))
+            )
+            nbr = (e.join(labels.select(F.col("v").alias("dst"),
+                                        F.col("comp").alias("_nc")), "dst")
+                   .groupBy("src").agg(F.min("_nc").alias("_nmin")))
+            nxt = (labels.join(nbr.select(F.col("src").alias("v"), "_nmin"),
+                               "v", "left")
+                   .select("v",
+                           F.least("comp", F.coalesce("_nmin", "comp"))
+                           .alias("comp"),
+                           (F.coalesce("_nmin", "comp") < F.col("comp"))
+                           .cast("long").alias("_chg"))
+                   .localCheckpoint(eager=True))
+            changed = nxt.agg(F.sum("_chg")).first()[0] or 0
+            # sweep k materialized → sweep k-1's blocks are dead
+            # weight; free them so peak storage is 2x the label frame,
+            # not sweeps x label frame (O(|V|) per sweep at web scale)
             prev.unpersist()
-        prev = nxt
-        labels = nxt.drop("_chg")
-        if changed == 0:
-            # the returned plan reads only the final checkpoint's
-            # blocks (lineage truncated), so the edge blocks can go too
-            edges.unpersist()
-            return labels.select(F.col("v").alias("doc_id"),
-                                 F.col("comp").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} sweeps")
+            prev = nxt
+            labels = nxt.drop("_chg")
+            if changed == 0:
+                # the returned plan reads only the final checkpoint's
+                # blocks (lineage truncated); everything else can go
+                return labels.select(F.col("v").alias("doc_id"),
+                                     F.col("comp").alias("cluster_id"))
+        prev.unpersist()      # no result to back — free the last sweep
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} sweeps")
+    finally:
+        # both paths: the edge blocks are never referenced by the
+        # returned plan (lineage truncated at the final checkpoint)
+        edges.unpersist()
 
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,

@@ -864,7 +864,9 @@ def q_dedup_clusters(spark, sf_dir):
 # Same shingle/pair CTEs as ORACLE_JACCARD; the recursive `reach` term
 # computes, for every clustered doc, the full set of ids reachable in
 # the (symmetrized) pair graph — min(reach) IS the propagated min label.
-ORACLE_CLUSTERS = """
+# The WITH-prefix is shared by ORACLE_CLUSTERS and
+# ORACLE_NEAR_DEDUP_KEEP, which append different final SELECTs.
+_CLUSTERS_CTE_PREFIX = """
 WITH RECURSIVE t AS (
   SELECT doc_id,
          CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
@@ -897,6 +899,9 @@ WITH RECURSIVE t AS (
 ), comp AS (
   SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 )
+"""
+
+ORACLE_CLUSTERS = _CLUSTERS_CTE_PREFIX + """
 SELECT c.doc_id, c.cluster_id, s.cluster_size
 FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
@@ -908,7 +913,8 @@ def q_near_dedup_keep(spark, sf_dir):
     drop every non-representative member (:func:`dq.dedup.
     drop_near_duplicates` left-anti join) → per-source survivor counts.
     What a training-data pipeline actually ships; the oracle replays
-    the same closure with the recursive CTE and a NOT IN anti-join."""
+    the same closure with the recursive CTE and a NOT EXISTS anti-join
+    (NOT IN would diverge from left_anti on a NULL id)."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(
         d, "doc_id", "text", n=3, min_num=1, min_den=3,
@@ -918,17 +924,14 @@ def q_near_dedup_keep(spark, sf_dir):
         F.count(F.lit(1)).alias("kept_docs"))
 
 
-ORACLE_NEAR_DEDUP_KEEP = ORACLE_CLUSTERS.replace(
-    """SELECT c.doc_id, c.cluster_id, s.cluster_size
-FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
-                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
-""",
-    """SELECT d.source, count(*) AS kept_docs
+ORACLE_NEAR_DEDUP_KEEP = _CLUSTERS_CTE_PREFIX + """
+SELECT d.source, count(*) AS kept_docs
 FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM comp
-                       WHERE doc_id <> cluster_id)
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.doc_id = d.doc_id
+                    AND comp.doc_id <> comp.cluster_id)
 GROUP BY d.source
-""")
+"""
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

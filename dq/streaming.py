@@ -116,14 +116,17 @@ def running_key_stats(df: DataFrame, key_col: str = "source",
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{key_col} string, total long, kept long, batches long"
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, total long, kept long, batches long"
     state_schema = "total long, kept long, batches long"
 
     def update(key, pdfs, state):
         total = kept = 0
         for pdf in pdfs:
             total += len(pdf)
-            kept += int(pdf[keep_col].sum())
+            # NULL keep counts as not-kept (object-dtype None would
+            # otherwise TypeError the whole streaming query)
+            kept += int(pdf[keep_col].fillna(False).sum())
         t, k, b = state.get if state.exists else (0, 0, 0)
         t, k, b = t + total, k + kept, b + 1
         state.update((t, k, b))

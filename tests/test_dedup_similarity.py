@@ -518,3 +518,11 @@ def test_near_dup_threshold_margin_supports_sql_oracle(spark):
     import math
     rb_margin = min(abs(c * 1e6 - math.floor(c * 1e6) - 0.5) for c in cos)
     assert rb_margin > 1e-6, rb_margin
+    # the candidate SET itself relies on sign-bit agreement: every
+    # |vec·plane| projection must clear summation-order ulp, else one
+    # engine flips a band key the other doesn't
+    import numpy as np
+    pmat = np.asarray(similarity.hyperplanes(64, 16, 7))
+    vecs = np.asarray([r["embedding"] for r in e.collect()], dtype=np.float64)
+    sign_margin = np.abs(vecs @ pmat.T).min()
+    assert sign_margin > 1e-9, sign_margin

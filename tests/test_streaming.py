@@ -105,7 +105,7 @@ def test_running_key_stats_state_survives_restart(spark, tmp_path_factory):
     landing = str(tmp_path_factory.mktemp("rks_landing"))
     cp = str(tmp_path_factory.mktemp("rks_cp"))
 
-    def write_batch(rows, fname):
+    def write_batch(rows):
         spark.createDataFrame(rows, "domain string, keep boolean") \
              .coalesce(1).write.mode("append").parquet(landing)
 
@@ -129,16 +129,17 @@ def test_running_key_stats_state_survives_restart(spark, tmp_path_factory):
                 latest[r["domain"]] = r
         return latest
 
-    write_batch([("a.com", True), ("a.com", False), ("b.org", True)], "f1")
+    write_batch([("a.com", True), ("a.com", False), ("b.org", True)])
     first = run("rks_run1")
     assert (first["a.com"]["total"], first["a.com"]["kept"]) == (2, 1)
     assert (first["b.org"]["total"], first["b.org"]["kept"]) == (1, 1)
 
-    write_batch([("a.com", True), ("c.net", False)], "f2")
+    write_batch([("a.com", True), ("c.net", False), ("b.org", None)])
     second = run("rks_run2")
-    # a.com continued from state (2+1 total, 1+1 kept); b.org untouched
-    # this run so it emits nothing new; c.net starts fresh
+    # a.com continued from state (2+1 total, 1+1 kept); c.net starts
+    # fresh; b.org's NULL keep counts as not-kept (and must not crash
+    # the object-dtype sum)
     assert (second["a.com"]["total"], second["a.com"]["kept"]) == (3, 2)
     assert second["a.com"]["batches"] >= 2
     assert (second["c.net"]["total"], second["c.net"]["kept"]) == (1, 0)
-    assert "b.org" not in second
+    assert (second["b.org"]["total"], second["b.org"]["kept"]) == (2, 1)
