@@ -119,12 +119,24 @@ def main() -> None:
     from dq.queries import ensure_dq_shipped
     ensure_dq_shipped(spark)    # workers need dq importable from any cwd
 
+    # best-of-reps per query (same protocol as the pipeline below): on
+    # the shared VM a single sample conflates plan cost with host
+    # weather — rep 1 additionally pays JVM/UDF warmup. Cold first-run
+    # totals are still visible in cold_total_sec.
+    query_reps = int(os.environ.get("DQ_BENCH_QUERY_REPS", "2"))
     timings: dict[str, float] = {}
+    cold_total = 0.0
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for rep in range(query_reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt_s = time.time() - t0
+            if rep == 0:
+                cold_total += dt_s
+            best = min(best, dt_s)
+        timings[name] = round(best, 3)
         total += timings[name]
 
     materialize_pages(spark, PIPELINE_DOCS, cpus)
@@ -144,6 +156,8 @@ def main() -> None:
         # the suite grows round-over-round — compare totals only at
         # equal n_queries (includes the pipeline entry)
         "n_queries": len(timings),
+        "query_reps": query_reps,
+        "cold_total_sec": round(cold_total, 3),
         "sf": sf,
         "pipeline_docs": PIPELINE_DOCS,
         "pipeline_docs_per_sec": round(PIPELINE_DOCS / pipe_sec, 1),
