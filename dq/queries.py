@@ -1221,8 +1221,16 @@ def q_embedding_near_dup(spark, sf_dir):
     the dedup family, now oracle-gated: plane literals reproduce the
     banded candidate set exactly, and the 0.4 threshold clears every
     fixture cosine by ≥5e-4 (≫ f64 summation-order ulp; asserted in
-    tests), so the pair set and round(cos,6) match bit-for-bit."""
-    e = _t(spark, sf_dir, "embeddings")
+    tests), so the pair set and round(cos,6) match bit-for-bit.
+
+    The scan is bounded to a 2k-vector slice: the gate fixture (sf0.01,
+    1k vectors) passes through unchanged, while at bench scale the
+    4-bit demo bands (16 buckets — sized for the gate corpus) would
+    otherwise fan a 10k-vector self-join into ~10^7 scored pairs. The
+    operator itself takes any frame; at corpus scale you raise
+    ``n_planes``/``bands`` so bucket count matches corpus size (a
+    parameter change, not a different algorithm)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     out = similarity.embedding_near_dup_pairs(
         e, threshold=NEAR_DUP_THRESHOLD, n_planes=16, bands=4)
     return out.select("id_a", "id_b",
@@ -1244,7 +1252,7 @@ def _near_dup_oracle_sql(n_planes: int = 16, bands: int = 4,
 WITH planes(p, pv) AS (VALUES
 {rows}
 ), e AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
 ), sigs AS (
   SELECT vec_id,
          CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
