@@ -14,7 +14,9 @@ Each stage reads the same materialized webpages parquet and drains
 through an aggregate sink (sum of a cheap function of the stage output)
 so the measurement is the stage, not a write path.
 
-Usage: python scripts/stage_bench.py [n_docs] [N] [reps]
+Usage: python scripts/stage_bench.py [n_docs] [N] [reps] [stage,stage]
+(4th arg restricts to a comma-separated stage subset — lets a short
+cool window on the shared host re-measure one stage)
 Prints one JSON line; paste the table into BENCH.md.
 """
 
@@ -141,6 +143,12 @@ def main() -> None:
             "spark.stop()\n")
         subprocess.run(["python", "-c", sub], check=True, timeout=1800)
     stages = ["heuristics", "models", "scrub", "dedup"]
+    if len(sys.argv) > 4:
+        want = sys.argv[4].split(",")
+        unknown = set(want) - set(stages)
+        if unknown:
+            raise SystemExit(f"unknown stages: {sorted(unknown)}")
+        stages = [s for s in stages if s in want]
     low, high = Level(N_LOW), Level(N_HIGH)
     times: dict[str, dict[int, list[float]]] = \
         {s: {N_LOW: [], N_HIGH: []} for s in stages}
