@@ -68,11 +68,6 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(F.trim(norm), "UTF-8"))
 
 
-def shuffle_key(text: Column) -> Column:
-    """Cheap 64-bit signature for shuffle partitioning / exact dedup."""
-    return F.xxhash64(text)
-
-
 def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     """Array of hashes of overlapping ``window_tokens``-token windows.
 
