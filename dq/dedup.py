@@ -62,7 +62,8 @@ def exact_signature(text: Column, id_col: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                check_unique: bool = False) -> DataFrame:
     """Keep the first (smallest-id) row of every exact-duplicate group.
 
     Adds ``is_dup_copy`` (True = shadowed copy). Plan:
@@ -79,9 +80,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     derived from a narrow (id, sig) projection so column pruning keeps
     upstream UDF stages out of that branch.
 
-    Requires unique ids (duplicate (signature, id) rows would all be
-    marked keepers, where the window form would keep exactly one).
+    Requires unique non-null ids (duplicate (signature, id) rows would
+    all be marked keepers, where the window form would keep exactly
+    one). ``check_unique=True`` enforces the precondition with one
+    extra aggregate job and raises ``ValueError`` instead of silently
+    returning wrong ``is_dup_copy`` values — use it when the id column
+    is not known-unique by construction (the pipeline keys by url,
+    which Common-Crawl-style inputs guarantee unique per capture).
     """
+    if check_unique:
+        chk = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.count_distinct(F.col(id_col)).alias("d")).first()
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"exact_dedup requires unique non-null {id_col!r}: "
+                f"{chk['n']} rows but {chk['d']} distinct ids")
     sig = exact_signature(F.col(text_col), F.col(id_col))
     df = df.withColumn("_sig", sig)
     keepers = (df.select(id_col, "_sig")
@@ -482,8 +495,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     cluster use ``sparkContext.setCheckpointDir`` + ``checkpoint()``
     for a reliable store.) Convergence is detected with a count on the
     already-checkpointed frame, so each sweep costs exactly one join
-    job. Only vertices appearing in ``pairs`` are returned — a vertex
-    with no near-dup pair is trivially its own singleton cluster.
+    job. Checkpoint blocks of superseded sweeps are reclaimed by the
+    ContextCleaner once the driver drops its reference (each loop
+    iteration rebinds ``labels``, releasing the previous sweep's
+    DataFrame → its JVM-side RDD becomes unreachable → weak-reference
+    GC unpersists the blocks); ``DataFrame.unpersist()`` would NOT do
+    it — it only uncaches CacheManager entries, not checkpoint RDDs.
+    Worst-case storage between GC cycles is a few sweeps × O(|V|),
+    bounded by the ~O(log diameter) sweep count. Only vertices
+    appearing in ``pairs`` are returned — a vertex with no near-dup
+    pair is trivially its own singleton cluster.
 
     Raises ``RuntimeError`` if not converged within ``max_iter`` sweeps
     (returning partially-propagated labels would silently split
@@ -503,49 +524,40 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .agg(F.min("dst").alias("_nmin"))
               .select("v", F.least("v", "_nmin").alias("comp"))
               .localCheckpoint(eager=True))
-    prev = labels
-    try:
-        for _ in range(max_iter):
-            # label edges (v ↔ comp) act as hub shortcuts; self-loops
-            # add nothing and are dropped before the union
-            lbl = labels.filter(F.col("v") != F.col("comp"))
-            e = edges.unionByName(
-                lbl.select(F.col("v").alias("src"),
-                           F.col("comp").alias("dst"))
-            ).unionByName(
-                lbl.select(F.col("comp").alias("src"),
-                           F.col("v").alias("dst"))
-            )
-            nbr = (e.join(labels.select(F.col("v").alias("dst"),
-                                        F.col("comp").alias("_nc")), "dst")
-                   .groupBy("src").agg(F.min("_nc").alias("_nmin")))
-            nxt = (labels.join(nbr.select(F.col("src").alias("v"), "_nmin"),
-                               "v", "left")
-                   .select("v",
-                           F.least("comp", F.coalesce("_nmin", "comp"))
-                           .alias("comp"),
-                           (F.coalesce("_nmin", "comp") < F.col("comp"))
-                           .cast("long").alias("_chg"))
-                   .localCheckpoint(eager=True))
-            changed = nxt.agg(F.sum("_chg")).first()[0] or 0
-            # sweep k materialized → sweep k-1's blocks are dead
-            # weight; free them so peak storage is 2x the label frame,
-            # not sweeps x label frame (O(|V|) per sweep at web scale)
-            prev.unpersist()
-            prev = nxt
-            labels = nxt.drop("_chg")
-            if changed == 0:
-                # the returned plan reads only the final checkpoint's
-                # blocks (lineage truncated); everything else can go
-                return labels.select(F.col("v").alias("doc_id"),
-                                     F.col("comp").alias("cluster_id"))
-        prev.unpersist()      # no result to back — free the last sweep
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} sweeps")
-    finally:
-        # both paths: the edge blocks are never referenced by the
-        # returned plan (lineage truncated at the final checkpoint)
-        edges.unpersist()
+    for _ in range(max_iter):
+        # label edges (v ↔ comp) act as hub shortcuts; self-loops
+        # add nothing and are dropped before the union
+        lbl = labels.filter(F.col("v") != F.col("comp"))
+        e = edges.unionByName(
+            lbl.select(F.col("v").alias("src"),
+                       F.col("comp").alias("dst"))
+        ).unionByName(
+            lbl.select(F.col("comp").alias("src"),
+                       F.col("v").alias("dst"))
+        )
+        nbr = (e.join(labels.select(F.col("v").alias("dst"),
+                                    F.col("comp").alias("_nc")), "dst")
+               .groupBy("src").agg(F.min("_nc").alias("_nmin")))
+        nxt = (labels.join(nbr.select(F.col("src").alias("v"), "_nmin"),
+                           "v", "left")
+               .select("v",
+                       F.least("comp", F.coalesce("_nmin", "comp"))
+                       .alias("comp"),
+                       (F.coalesce("_nmin", "comp") < F.col("comp"))
+                       .cast("long").alias("_chg"))
+               .localCheckpoint(eager=True))
+        changed = nxt.agg(F.sum("_chg")).first()[0] or 0
+        # rebinding `labels` drops the last reference to sweep k-1's
+        # frame — ContextCleaner reclaims its checkpoint blocks (see
+        # docstring; an explicit unpersist() would be a no-op here)
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            # the returned plan reads only the final checkpoint's
+            # blocks (lineage truncated); everything else can go
+            return labels.select(F.col("v").alias("doc_id"),
+                                 F.col("comp").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} sweeps")
 
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,

@@ -29,12 +29,18 @@ from pyspark.sql import functions as F
 
 
 def parse_partition_spec(spec: str) -> dict[str, str]:
-    """``'k1=v1/k2=v2'`` → ``{'k1': 'v1', 'k2': 'v2'}`` (keys lowered,
-    values URL-decoded) — the reference's parse loop at
-    ``core/data_fetcher.py:46-52``."""
+    """``'k1=v1/k2=v2'`` → ``{'k1': 'v1', 'k2': 'v2'}`` — the
+    reference's parse loop at ``core/data_fetcher.py:46-52``: segments
+    without ``=`` are skipped, exactly as the reference does. Two
+    deliberate Spark-side deviations (not in the reference): values are
+    URL-decoded (module docstring) and keys are lowercased — Spark
+    resolves ``F.col(key)`` case-insensitively by default
+    (``spark.sql.caseSensitive=false``), so a normalized key always
+    matches the scan's partition column regardless of how the metastore
+    cased it."""
     out: dict[str, str] = {}
     for part in spec.split("/"):
-        if not part:
+        if "=" not in part:
             continue
         key, _, value = part.partition("=")
         out[key.lower()] = unquote(value)

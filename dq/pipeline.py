@@ -78,6 +78,10 @@ def score_pages(spark: SparkSession, pages: DataFrame,
     })
 
     # exact dedup: 64-bit signature; keep-first by url within a signature.
+    # PRECONDITION: urls are unique non-null (Common-Crawl-style inputs
+    # guarantee one row per capture url) — a duplicated url carrying its
+    # group's min would be marked keeper more than once; see
+    # dq.dedup.exact_dedup(check_unique=True) for the enforced variant.
     # Null/empty texts get a unique per-row signature (they are dropped by
     # rule_non_empty anyway) so the null bucket can't skew the shuffle.
     # Shape: groupBy(sig).agg(min(url)) + join back, NOT a row_number

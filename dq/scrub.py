@@ -59,6 +59,12 @@ _PII_PREFILTER = re.compile(r"[@\d]")
 # there. Byte-identity is preserved by construction (prefilter is a
 # strict over-approximation of the regex's match opportunities).
 _TOXIC_SUBSTRINGS = tuple(w.lower() for w in TOXIC_LEXICON)
+# The shortcut above is sound ONLY for an all-ASCII lexicon: a non-ASCII
+# lexicon word whose Unicode IGNORECASE fold matches ASCII text (e.g.
+# 'ſ' folding to 's') would be missed by the substring scan. Enforce the
+# invariant the optimization depends on instead of assuming it.
+assert all(w.isascii() for w in TOXIC_LEXICON), \
+    "ASCII toxic-prefilter requires a pure-ASCII lexicon"
 
 
 def scrub_string(text: str | None) -> str | None:

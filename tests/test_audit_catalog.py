@@ -83,6 +83,11 @@ def test_parse_partition_spec_url_decoding():
     from dq.partitions import parse_partition_spec
     assert parse_partition_spec("Day=2025-01-01/kind=a%20b") == {
         "day": "2025-01-01", "kind": "a b"}
+    # '='-less segments are skipped, matching the reference parse loop
+    # (core/data_fetcher.py:48-50) — not turned into {segment: ''}
+    assert parse_partition_spec("garbage/day=2025-01-01/") == {
+        "day": "2025-01-01"}
+    assert parse_partition_spec("no-equals-at-all") == {}
 
 
 def test_checks_job_on_catalog_store(spark, store, tmp_path):

@@ -90,6 +90,21 @@ def test_exact_dedup_skew_safe_plan(spark):
     assert [r["doc_id"] for r in keepers] == [0]   # smallest id wins
 
 
+def test_exact_dedup_check_unique_guard(spark):
+    """check_unique=True enforces the unique-id precondition instead of
+    silently marking every min-id row a keeper (ADVICE r3)."""
+    dup_ids = spark.createDataFrame(
+        [(1, "same text"), (1, "same text"), (2, "other")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique non-null"):
+        dedup.exact_dedup(dup_ids, check_unique=True)
+    ok = spark.createDataFrame(
+        [(1, "same text"), (2, "same text")], "doc_id long, text string")
+    out = {r["doc_id"]: r["is_dup_copy"]
+           for r in dedup.exact_dedup(ok, check_unique=True).collect()}
+    assert out == {1: False, 2: True}
+
+
 def test_python_tokenizer_mirrors_column_tokenizer(spark):
     """The minhash/simhash pandas UDFs tokenize in Python but claim the
     exact semantics of the Column tokenizer (space-only trim, ASCII \\s
