@@ -43,6 +43,13 @@ class PipelineConfig:
     ppl_threshold: float = DEFAULT_PPL_THRESHOLD
     heuristics: HeuristicConfig = field(default_factory=HeuristicConfig)
     repartition: int | None = None       # explicit pre-stage balancing
+    # False = skip the langid/perplexity UDF stage and pass rule_lang /
+    # rule_ppl unconditionally, so keep = heuristics ∧ not_dup. The plan
+    # is otherwise IDENTICAL (same projections, same dedup exchange) —
+    # this is what lets the composed pipeline be gated against an exact
+    # SQL oracle (model scores have no SQL mirror; the model rules are
+    # F1-gated separately in tests/test_pipeline.py).
+    enable_model_rules: bool = True
 
 
 ALL_RULES = RULE_NAMES + ["rule_lang", "rule_ppl", "rule_not_dup"]
@@ -66,16 +73,26 @@ def score_pages(spark: SparkSession, pages: DataFrame,
 
     df = with_heuristics(df, "text", cfg.heuristics)
 
-    langid = make_langid_udf(spark)
-    ppl = make_perplexity_udf(spark)
-    df = df.withColumns({
-        "lang_pred": langid(F.col("text")),
-        "ppl": ppl(F.col("text")),
-    })
-    df = df.withColumns({
-        "rule_lang": F.col("lang_pred").isin(*cfg.accept_langs),
-        "rule_ppl": F.col("ppl") <= F.lit(cfg.ppl_threshold),
-    })
+    if cfg.enable_model_rules:
+        langid = make_langid_udf(spark)
+        ppl = make_perplexity_udf(spark)
+        df = df.withColumns({
+            "lang_pred": langid(F.col("text")),
+            "ppl": ppl(F.col("text")),
+        })
+        df = df.withColumns({
+            "rule_lang": F.col("lang_pred").isin(*cfg.accept_langs),
+            "rule_ppl": F.col("ppl") <= F.lit(cfg.ppl_threshold),
+        })
+    else:
+        # rules-only mode: same schema (lineage/metrics melt over
+        # ALL_RULES unchanged), model verdicts pass unconditionally
+        df = df.withColumns({
+            "lang_pred": F.lit(None).cast("string"),
+            "ppl": F.lit(None).cast("double"),
+            "rule_lang": F.lit(True),
+            "rule_ppl": F.lit(True),
+        })
 
     # exact dedup: 64-bit signature; keep-first by url within a signature.
     # PRECONDITION: urls are unique non-null (Common-Crawl-style inputs

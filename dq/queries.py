@@ -1386,6 +1386,132 @@ def q_quality_filter_pipeline(spark, sf_dir):
             .withColumn("dropped", F.col("docs") - F.col("kept")))
 
 
+def q_pipeline_rules_only(spark, sf_dir):
+    """The EXACT composed pipeline plan (``score_pages`` + scrub) with
+    the model rules disabled — the oracle gate for the flagship's
+    composition. ``enable_model_rules=False`` keeps every projection,
+    the heuristics Arrow stage, and the dedup keeper exchange identical
+    to ``q_quality_filter_pipeline`` (same HeuristicConfig); only the
+    langid/perplexity UDFs are replaced by unconditional passes, so
+    keep = heuristics ∧ not_dup and every ingredient has an exact SQL
+    mirror: heuristic rules (ORACLE_HEURISTICS semantics at this
+    config), the keep-first-by-url dedup (min(url) per text), and the
+    scrubbed-text fingerprints (scrub is the identity on this corpus —
+    proven separately by scrubbed_fingerprints — so the md5 tallies pin
+    the scrub stage's byte-round-trip inside the composition too)."""
+    from dq.heuristics import HeuristicConfig
+    from dq.pipeline import PipelineConfig, score_pages
+
+    pages = _documents_as_webpages(spark, sf_dir)
+    cfg = PipelineConfig(
+        heuristics=HeuristicConfig(min_words=30, min_stopword_frac=0.0,
+                                   min_mean_word_len=2.0),
+        enable_model_rules=False,
+    )
+    scored = score_pages(spark, pages, cfg)
+    scored = scored.withColumn(
+        "text_scrubbed", scrub_udf(F.when(F.col("keep"), F.col("text"))))
+    fp_hex = F.md5(F.encode(F.col("text_scrubbed"), "UTF-8"))
+    fp_num = F.conv(F.substring(fp_hex, 1, 8), 16, 10).cast("long")
+    gated_rules = RULE_NAMES + ["rule_not_dup"]
+    aggs = [F.sum(F.col(r).cast("long")).alias(f"pass_{r}")
+            for r in gated_rules]
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum(F.col("keep").cast("long")).alias("kept"),
+                 *aggs,
+                 F.min(fp_hex).alias("scrub_fp_min"),
+                 F.max(fp_hex).alias("scrub_fp_max"),
+                 F.sum(fp_num).alias("scrub_fp_sum")))
+
+
+# Same CTE skeleton as ORACLE_HEURISTICS but at the flagship pipeline's
+# HeuristicConfig (min_words=30, min_stopword_frac=0.0,
+# min_mean_word_len=2.0), extended with the dedup keeper window
+# (min(url) per exact text — the SQL mirror of the xxhash64-signature
+# groupBy+join, exact up to the documented U²/2⁶⁵ collision bound) and
+# md5 fingerprint tallies of the kept (scrub-identity) texts.
+ORACLE_PIPELINE_RULES = f"""
+WITH pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         source, text
+  FROM documents
+), t AS (
+  SELECT url, source, text,
+         (text IS NOT NULL AND trim(text, ' ') <> '') AS has_text,
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+')
+              ELSE [] END AS toks
+  FROM pages
+), s AS (
+  SELECT url, source, text, has_text,
+         len(toks) AS n,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS lensum,
+         CASE WHEN text IS NOT NULL
+              THEN length(text) - length(translate(text, {_SYMBOL_SQL}, ''))
+              ELSE 0 END AS symcount,
+         len(list_filter(list_transform(toks,
+                 x -> regexp_replace(lower(x), '[^\\p{{L}}\\p{{N}}]', '', 'g')),
+             x -> x IN ({_STOPWORD_SQL}))) AS stopcount,
+         len(list_distinct(list_transform(toks,
+                 x -> regexp_replace(lower(x), '[^\\p{{L}}\\p{{N}}]', '', 'g')))) AS ndistinct,
+         len(list_filter(toks, x -> regexp_matches(x, '[\\p{{L}}]'))) AS alphacount
+  FROM t
+), r AS (
+  SELECT url, source, text, has_text,
+         (has_text AND n > 0) AS gate, n,
+         CASE WHEN n > 0 THEN lensum / n ELSE 0.0 END AS meanlen,
+         symcount / greatest(n, 1) AS symratio,
+         CASE WHEN n > 0 THEN stopcount / n ELSE 0.0 END AS stopfrac,
+         CASE WHEN n > 0 THEN ndistinct / n ELSE 0.0 END AS distratio,
+         CASE WHEN n > 0 THEN alphacount / n ELSE 0.0 END AS alphafrac,
+         min(url) OVER (
+             PARTITION BY CASE WHEN has_text THEN text ELSE url END
+         ) AS keep_url
+  FROM s
+), v AS (
+  SELECT source, text,
+         gate AS rule_non_empty,
+         (gate AND n >= 30) AS rule_min_words,
+         (gate AND n <= 100000) AS rule_max_words,
+         (gate AND meanlen >= 2.0 AND meanlen <= 12.0) AS rule_mean_word_len,
+         (gate AND symratio <= 0.10) AS rule_symbol_ratio,
+         (gate AND stopfrac >= 0.0) AS rule_stopword_frac,
+         (gate AND distratio >= 0.20) AS rule_distinct_ratio,
+         (gate AND alphafrac >= 0.80) AS rule_alpha_frac,
+         (url = keep_url) AS rule_not_dup
+  FROM r
+), k AS (
+  SELECT source, text,
+         rule_non_empty, rule_min_words, rule_max_words,
+         rule_mean_word_len, rule_symbol_ratio, rule_stopword_frac,
+         rule_distinct_ratio, rule_alpha_frac, rule_not_dup,
+         (rule_non_empty AND rule_min_words AND rule_max_words
+          AND rule_mean_word_len AND rule_symbol_ratio
+          AND rule_stopword_frac AND rule_distinct_ratio
+          AND rule_alpha_frac AND rule_not_dup) AS keep
+  FROM v
+)
+SELECT source, count(*) AS docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN rule_non_empty THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_non_empty,
+       CAST(sum(CASE WHEN rule_min_words THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_min_words,
+       CAST(sum(CASE WHEN rule_max_words THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_max_words,
+       CAST(sum(CASE WHEN rule_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_mean_word_len,
+       CAST(sum(CASE WHEN rule_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_symbol_ratio,
+       CAST(sum(CASE WHEN rule_stopword_frac THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_stopword_frac,
+       CAST(sum(CASE WHEN rule_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_distinct_ratio,
+       CAST(sum(CASE WHEN rule_alpha_frac THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_alpha_frac,
+       CAST(sum(CASE WHEN rule_not_dup THEN 1 ELSE 0 END) AS BIGINT) AS pass_rule_not_dup,
+       min(CASE WHEN keep THEN md5(text) END) AS scrub_fp_min,
+       max(CASE WHEN keep THEN md5(text) END) AS scrub_fp_max,
+       CAST(sum(CASE WHEN keep
+                THEN CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)
+                END) AS BIGINT) AS scrub_fp_sum
+FROM k GROUP BY source
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthetic media table (binary
     payload + typed meta struct) → mapInPandas decode (deterministic
@@ -1495,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_index_topk": q_embedding_index_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_filter_pipeline": q_quality_filter_pipeline,
+    "pipeline_rules_only": q_pipeline_rules_only,
     "multimodal_decode": q_multimodal_decode,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
@@ -1545,6 +1672,7 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_topk": ORACLE_LSH_TOPK,
     "embedding_index_topk": ORACLE_INDEX_TOPK,
     "embedding_near_dup": ORACLE_NEAR_DUP,
+    "pipeline_rules_only": ORACLE_PIPELINE_RULES,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in
