@@ -1233,21 +1233,25 @@ NEAR_DUP_THRESHOLD = 0.4      # sf0.01 margin |cos-th| ≥ 5e-4 (tested)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate PAIRS (corpus vs itself) via the
     same hyperplane banding as the top-k queries — the embedding leg of
-    the dedup family, now oracle-gated: plane literals reproduce the
+    the dedup family, oracle-gated: plane literals reproduce the
     banded candidate set exactly, and the 0.4 threshold clears every
-    fixture cosine by ≥5e-4 (≫ f64 summation-order ulp; asserted in
-    tests), so the pair set and round(cos,6) match bit-for-bit.
+    fixture candidate cosine by ≫ f64 summation-order ulp (margin
+    asserted in tests), so the pair set and round(cos,6) match
+    bit-for-bit.
 
-    The scan is bounded to a 2k-vector slice: the gate fixture (sf0.01,
-    1k vectors) passes through unchanged, while at bench scale the
-    4-bit demo bands (16 buckets — sized for the gate corpus) would
-    otherwise fan a 10k-vector self-join into ~10^7 scored pairs. The
-    operator itself takes any frame; at corpus scale you raise
-    ``n_planes``/``bands`` so bucket count matches corpus size (a
-    parameter change, not a different algorithm)."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    Band width is AUTO-SIZED to the corpus
+    (:func:`dq.similarity.near_dup_band_params`): bucket count grows
+    with ``count()`` so expected per-vector candidate work stays
+    constant from the gate fixture to a 100-TB corpus — no slice, no
+    demo-width fan-out (the round-3 weak spot). The ``count()`` is
+    parquet-metadata-cheap and only picks a power-of-2 bucket count.
+    The fixed oracle string is generated at the driver-gate corpus
+    size (``_GATE_EMBEDDINGS_N`` — sf0.01), the one place the driver
+    compares values."""
+    e = _t(spark, sf_dir, "embeddings")
+    n_planes, bands = similarity.near_dup_band_params(e.count())
     out = similarity.embedding_near_dup_pairs(
-        e, threshold=NEAR_DUP_THRESHOLD, n_planes=16, bands=4)
+        e, threshold=NEAR_DUP_THRESHOLD, n_planes=n_planes, bands=bands)
     return out.select("id_a", "id_b",
                       F.round("cos_sim", 6).alias("cos_sim_r6"))
 
@@ -1267,7 +1271,7 @@ def _near_dup_oracle_sql(n_planes: int = 16, bands: int = 4,
 WITH planes(p, pv) AS (VALUES
 {rows}
 ), e AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+  SELECT vec_id, embedding FROM embeddings
 ), sigs AS (
   SELECT vec_id,
          CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
@@ -1298,7 +1302,13 @@ FROM scored WHERE cos_sim >= {threshold!r}
 """
 
 
-ORACLE_NEAR_DUP = _near_dup_oracle_sql()
+# The driver-gate corpus (sf0.01 embeddings.parquet) has exactly this
+# many vectors; the oracle's plane literals must be generated at the
+# same auto-sized width the Spark query picks there (20 planes / 4
+# bands → 32 buckets per band at 500 vectors).
+_GATE_EMBEDDINGS_N = 500
+ORACLE_NEAR_DUP = _near_dup_oracle_sql(
+    *similarity.near_dup_band_params(_GATE_EMBEDDINGS_N))
 
 
 # =====================================================================

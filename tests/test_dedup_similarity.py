@@ -519,12 +519,14 @@ def test_near_dup_threshold_margin_supports_sql_oracle(spark):
     0.4 threshold and rounds to 6 dp in BOTH engines; exactness needs
     every CANDIDATE pair's cosine to clear the threshold and the
     nearest rounding boundary by far more than summation-order ulp
-    (~1e-13). Assert both margins on the driver-gate fixture (sf0.01)."""
+    (~1e-13). Assert both margins on the driver-gate fixture (sf0.01),
+    at the SAME auto-sized band width the catalog query picks there."""
     from dq.queries import NEAR_DUP_THRESHOLD
 
     e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n_planes, bands = similarity.near_dup_band_params(e.count())
     cand = similarity.embedding_near_dup_pairs(
-        e, threshold=-2.0, n_planes=16, bands=4)   # keep ALL candidates
+        e, threshold=-2.0, n_planes=n_planes, bands=bands)  # ALL candidates
     cos = [r["cos_sim"] for r in cand.collect()]
     assert cos, "banding produced no candidate pairs"
     th_margin = min(abs(c - NEAR_DUP_THRESHOLD) for c in cos)
@@ -537,7 +539,7 @@ def test_near_dup_threshold_margin_supports_sql_oracle(spark):
     # |vec·plane| projection must clear summation-order ulp, else one
     # engine flips a band key the other doesn't
     import numpy as np
-    pmat = np.asarray(similarity.hyperplanes(64, 16, 7))
+    pmat = np.asarray(similarity.hyperplanes(64, n_planes, 7))
     vecs = np.asarray([r["embedding"] for r in e.collect()], dtype=np.float64)
     sign_margin = np.abs(vecs @ pmat.T).min()
     assert sign_margin > 1e-9, sign_margin
