@@ -21,6 +21,7 @@ a real multi-executor cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -70,3 +71,37 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+# Confs the query catalog pins on the session it is given (see
+# dq.queries._t — the values are part of the catalog's semantics and
+# are read lazily at ACTION time, so they cannot be scoped per-query).
+_CATALOG_CONFS = ("spark.sql.ansi.enabled", "spark.sql.session.timeZone")
+
+
+@contextmanager
+def catalog_session(spark: SparkSession):
+    """Save/restore wrapper for hosts embedding catalog queries in a
+    session whose ANSI mode or timezone they depend on.
+
+    The catalog's session-mutation contract (dq.queries._t) deliberately
+    leaves ``ansi.enabled=false`` + UTC set — correct for the driver and
+    bench, silent semantic drift for an ANSI-on host. Usage::
+
+        with catalog_session(spark):
+            df = QUERIES["freshness"](spark, sf_dir)
+            rows = df.collect()        # ACTIONS must run inside too —
+                                       # lazy frames read confs at
+                                       # action time, not build time
+
+    On exit the two confs are restored to their entry values (unset
+    stays unset)."""
+    saved = {k: spark.conf.get(k, None) for k in _CATALOG_CONFS}
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

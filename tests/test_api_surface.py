@@ -22,6 +22,37 @@ def test_media_table_schema_shape(spark):
     assert df.schema == st
 
 
+def test_catalog_session_restores_confs(spark):
+    """Embedding a catalog query in an ANSI-on session: catalog_session
+    restores both pinned confs on exit, and ANSI semantics are really
+    back (a bad cast throws again)."""
+    from dq.queries import QUERIES
+    from dq.session import catalog_session
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with catalog_session(spark):
+            df = QUERIES["daily_row_counts"](spark, "/root/testdata/sf0.001")
+            assert df.count() > 0
+            # inside: the catalog pinned its semantics
+            assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") \
+            == "America/New_York"
+        try:
+            spark.sql("SELECT CAST('not a number' AS INT)").collect()
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, "ANSI cast semantics not actually restored"
+    finally:
+        # shared test session: put the suite's defaults back
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_column_form_wrappers(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta contact a@b.co now")],
