@@ -3,14 +3,18 @@ pipelines.
 
 Media ride as opaque ``binary`` columns with a typed metadata struct —
 the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the codec work itself is stubbed because
-no image/audio library ships in this container:
+signatures) is real and tested. Codec status:
 
-- ``decode_image`` / ``decode_audio`` raise ``NotImplementedError``
-  unless the optional decoder import succeeds (PIL / soundfile);
-- ``fake_decode_meta`` is the deterministic stand-in the tests and the
-  synthetic corpus use: width/height/duration derived from a stable hash
-  of the bytes, so every partitioning produces identical output.
+- **audio/WAV is REAL**: :func:`synthesize_wav` writes genuine PCM16
+  RIFF/WAVE bytes and :func:`decode_audio` parses them back (header +
+  frames + an RMS feature) with the stdlib ``wave`` module — no new
+  dependencies, deterministic, end-to-end tested;
+- image decode stays import-gated (``real_image_decoder`` raises
+  ``NotImplementedError`` until PIL ships in the container);
+- ``fake_decode_meta`` is the deterministic image-decode stand-in the
+  tests and the synthetic corpus use: width/height derived from a
+  stable hash of the bytes, so every partitioning produces identical
+  output (and the driver's SQL oracle can reproduce it).
 
 All bulk operators are ``mapInPandas`` (iterator-of-batches: one model /
 decoder init per PARTITION, not per row — the same executor-lifetime
@@ -20,6 +24,8 @@ amortization the langid/perplexity UDFs get via broadcast).
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -215,6 +221,107 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             })
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_width", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def synthesize_wav(media_id: int, sample_rate: int = 8000) -> bytes:
+    """REAL RIFF/WAVE bytes (stdlib ``wave`` writer): a PCM16 mono sine
+    tone whose frequency and length are pure functions of the id, so
+    the synthetic audio table is deterministic under any partitioning
+    (same scheme as dq.synth.webpages)."""
+    freq = 110.0 + (media_id % 32) * 55.0
+    n = sample_rate // 10 + (media_id % 7) * (sample_rate // 100)
+    t = np.arange(n, dtype=np.float64)
+    samples = np.rint(
+        np.sin(2.0 * np.pi * freq * t / sample_rate) * 12000.0
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_meta(payload: bytes | None) -> dict | None:
+    """Real WAV decode (stdlib ``wave``): header fields + frame count +
+    an RMS amplitude feature computed from the decoded PCM samples.
+    Returns None for NULL payloads and for bytes that are not a valid
+    WAV stream (the schema-stable analog of a codec error row)."""
+    if payload is None:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            nf = w.getnframes()
+            frames = w.readframes(nf)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2 and frames:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(arr * arr)))
+    else:
+        rms = 0.0
+    return {"sample_rate": sr, "channels": ch, "sample_width": sw,
+            "n_frames": nf,
+            "duration_ms": (nf * 1000) // sr if sr else 0,
+            "rms": rms}
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 decoder=decode_wav_meta) -> DataFrame:
+    """Append an ``audio`` struct via ``mapInPandas`` — same
+    iterator-of-batches shape as :func:`decode_images`, but the default
+    decoder is the REAL stdlib WAV codec (no stub)."""
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("audio", AUDIO_META_SCHEMA)])
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder                 # per-partition init point
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["audio"] = [dec(p) for p in pdf[payload_col]]
+            yield pdf[names]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthetic_audio(spark, n_rows: int, num_partitions: int | None = None,
+                    sample_rate: int = 8000) -> DataFrame:
+    """Deterministic audio media table carrying REAL WAV payloads
+    (``synthesize_wav`` per id, generated executor-side in Arrow
+    batches — the payload never passes through the driver)."""
+    base = spark.range(0, n_rows, 1,
+                       num_partitions
+                       or spark.sparkContext.defaultParallelism)
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synthesize_wav(int(i), sample_rate)
+                            for i in pdf["id"]],
+            })
+
+    media = base.mapInPandas(gen, out_schema)
+    return with_media_meta(media, media_type="audio", mime="audio/wav")
 
 
 def synthetic_media(spark, n_rows: int, num_partitions: int | None = None
