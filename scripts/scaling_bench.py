@@ -19,7 +19,9 @@ measured to lie):
   sandbox host (CPU steal varies over minutes) cancels instead of
   biasing one side.
 
-Writes the result table to BENCH.md and prints one JSON line.
+Appends one row to BENCH_scaling_runs.md (append-only run log — it
+never touches BENCH.md, whose curated scaling section links there) and
+prints one JSON line.
 
 Usage: python scripts/scaling_bench.py [n_docs] [N] [reps]
 """
@@ -192,8 +194,9 @@ def main() -> None:
     high.stop()
     ceiling = cpu_ceiling()
     results = {c: min(v) for c, v in times.items()}
+    probe_after = probe()
     sys.stderr.write(f"all times: {times}\n")
-    sys.stderr.write(f"probe before: {probe_before}s, after: {probe()}s\n")
+    sys.stderr.write(f"probe before: {probe_before}s, after: {probe_after}s\n")
     sys.stderr.write(f"host cpu ceiling: {ceiling}\n")
 
     thr = {c: N_DOCS / s for c, s in results.items()}
@@ -220,49 +223,40 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    block = (
-        "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
-        "Same end-to-end pipeline job (heuristics + langid + perplexity +\n"
-        "dedup + scrub + lineage/metrics) over the same materialized\n"
-        f"{N_DOCS:,}-doc webpages input. Each level is a fresh JVM pinned\n"
-        "with `taskset` to exactly that many physical cores (covering\n"
-        "Spark task threads AND pandas-UDF worker processes - `local[N]`\n"
-        "alone does not bound the workers), warmed up first, then\n"
-        f"interleaved A/B x{REPS} reps (best-of) so host drift cancels:\n\n"
-        "| cores | wall sec | docs/sec |\n|---|---|---|\n"
-        f"| local[{N_LOW}] | {summary['low_sec']} | {summary['low_docs_per_sec']} |\n"
-        f"| local[{N_HIGH}] | {summary['high_sec']} | {summary['high_docs_per_sec']} |\n\n"
-        f"Speedup {summary['speedup']}x over a {N_HIGH // N_LOW}x core increase → "
-        f"**scaling efficiency {summary['scaling_efficiency']}** "
-        f"(best-of columns across interleaved reps). Per interleaved\n"
-        f"pair (same-minute host conditions, immune to the sandbox\n"
-        f"host's throttling drift): {summary['pair_efficiencies']} → "
-        f"**best same-conditions pair {summary['best_pair_efficiency']}**.\n\n"
-        f"Host parallel-compute ceiling, measured alongside (aggregate\n"
-        f"pure-CPU loop throughput at {N_LOW} vs {N_HIGH} pinned processes —\n"
-        f"register-only work, no engine, no sharing): "
-        f"**{summary['host_cpu_ceiling']}** — the VM lowers per-core clock\n"
-        f"under sustained multi-core load, so no workload whatsoever can\n"
-        f"scale at 1.0 from {N_LOW} to {N_HIGH} cores on this box. Engine\n"
-        f"efficiency relative to what the host physically delivers: "
-        f"**{summary['efficiency_vs_host_ceiling']}**.\n"
-        "\nCaveat recorded with each run: the sandbox is a shared\n"
-        "virtualized host whose effective clock varies ~2x under\n"
-        "sustained load (single-core probe logged before/after). On a\n"
-        "real N- vs 4N-executor cluster each executor adds its own\n"
-        "memory bandwidth and JVM heap, which single-box thread-scaling\n"
-        "systematically understates.\n"
-    )
-    marker = "## Scaling evidence"
-    path = "BENCH.md"
-    existing = ""
-    if os.path.exists(path):
-        with open(path) as f:
-            existing = f.read()
-        if marker in existing:
-            existing = existing[:existing.index(marker)]
-    with open(path, "w") as f:
-        f.write(existing + block)
+    # APPEND-ONLY run log (one table row per invocation). Earlier
+    # revisions rewrote BENCH.md's scaling section wholesale, so one
+    # stray throttled run destroyed the curated cross-round table —
+    # now BENCH.md's scaling prose is hand-curated and links here, and
+    # running this script twice leaves all history intact.
+    import datetime as _dt
+    path = "BENCH_scaling_runs.md"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(
+                "# Scaling bench run log (append-only)\n\n"
+                "One row per `scripts/scaling_bench.py` invocation over "
+                "the same end-to-end pipeline job (heuristics + langid + "
+                "perplexity + dedup + scrub + lineage/metrics), each "
+                "level a fresh `taskset`-pinned JVM, warmed up, "
+                "interleaved A/B reps. `eff` = column-best efficiency; "
+                "`pairs` = per-interleaved-pair (same-minute host "
+                "conditions); `probe` = single-core seconds "
+                "before/after (cool ~1.3-1.6, throttled 3-4.6). "
+                "BENCH.md's curated scaling section interprets these.\n\n"
+                "| when (UTC) | docs | cores | wall sec | docs/s | "
+                "eff | pairs | best pair | host ceiling | probe b/a |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n")
+    when = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M")
+    with open(path, "a") as f:
+        f.write(
+            f"| {when} | {N_DOCS:,} | {N_LOW}→{N_HIGH} "
+            f"| {summary['low_sec']}→{summary['high_sec']} "
+            f"| {summary['low_docs_per_sec']}→{summary['high_docs_per_sec']} "
+            f"| {summary['scaling_efficiency']} "
+            f"| {summary['pair_efficiencies']} "
+            f"| {summary['best_pair_efficiency']} "
+            f"| {summary['host_cpu_ceiling']} "
+            f"| {probe_before}/{probe_after} |\n")
 
 
 if __name__ == "__main__":
