@@ -110,3 +110,30 @@ def test_checks_job_on_catalog_store(spark, store, tmp_path):
     out3 = run_checks_job(spark, specs, "e3",
                           RUN_DATE + dt.timedelta(days=2), store)
     assert out3["thresholds"][("DEV", "db1", "t1")].method == "increment"
+
+
+def test_pipeline_on_catalog_store(spark, store):
+    """run_pipeline (N5-N7) end-to-end against a CATALOG-mode
+    AuditStore: dynamic partition overwrite on managed tables plus
+    checkpoint resume — the Iceberg-shaped deployment path
+    (``df.writeTo(db.t)``), closing the S2/S5 loop the path-mode
+    pipeline tests leave open."""
+    from dq.pipeline import run_pipeline
+    from dq.synth import webpages
+
+    pages = webpages(spark, 300, num_partitions=4)
+    run_ts = dt.datetime(2024, 1, 20, 12, 0)
+    out1 = run_pipeline(spark, pages, "e1", run_ts, store=store)
+    n_docs = store.read(spark, "docs").count()
+    assert n_docs == out1["docs"].count() > 0
+    assert store.read(spark, "lineage").count() > 0
+    assert store.read(spark, "rule_metrics").count() > 0
+    done = store.read(spark, "checkpoint")
+    assert done.count() > 0
+    out1["scored"].unpersist()
+    # rerun with a new execution id: every partition is checkpointed,
+    # so the resume anti-join drops all input and nothing is rewritten
+    out2 = run_pipeline(spark, pages, "e2", run_ts, store=store)
+    assert store.read(spark, "docs").count() == n_docs
+    assert out2["docs"].count() == 0
+    out2["scored"].unpersist()
