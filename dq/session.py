@@ -34,15 +34,25 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the singleton SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox).
-    On a real cluster you would omit it and let spark-submit supply YARN/K8s.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox)
+    — but ONLY when the process was not launched by spark-submit. Under
+    spark-submit the py4j gateway JVM already exists (marked by
+    ``PYSPARK_GATEWAY_PORT`` in the environment) and carries the
+    ``--master`` the operator chose (YARN/K8s/standalone); forcing
+    ``.master()`` here would silently override it back to local mode, so
+    we leave it untouched unless the caller passed one explicitly.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
