@@ -9,7 +9,12 @@ signatures) is real and tested. Codec status:
   RIFF/WAVE bytes and :func:`decode_audio` parses them back (header +
   frames + an RMS feature) with the stdlib ``wave`` module — no new
   dependencies, deterministic, end-to-end tested;
-- image decode stays import-gated (``real_image_decoder`` raises
+- **image/PPM is REAL**: :func:`synthesize_ppm` writes genuine binary
+  P6 (portable pixmap) bytes and :func:`decode_ppm_meta` parses header
+  + validates the raster — plugs into :func:`decode_images` as a real
+  decoder, oracle-checked (the synthesized dims are pure arithmetic of
+  the id, so DuckDB predicts the decode output independently);
+- other image formats stay import-gated (``real_image_decoder`` raises
   ``NotImplementedError`` until PIL ships in the container);
 - ``fake_decode_meta`` is the deterministic image-decode stand-in the
   tests and the synthetic corpus use: width/height derived from a
@@ -25,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import re
 import wave
 from collections.abc import Iterator
 
@@ -142,6 +148,68 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
             yield pdf[names]
 
     return df.mapInPandas(run, out_schema)
+
+
+_PPM_HEADER_RE = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
+
+
+def synthesize_ppm(media_id: int) -> bytes:
+    """REAL binary PPM (P6) bytes: a deterministic RGB gradient whose
+    dimensions are pure ARITHMETIC of the id (w = 16 + id % 24,
+    h = 16 + id*7 % 24) — which is what lets the driver's DuckDB oracle
+    predict the decode output without running the codec."""
+    w = 16 + media_id % 24
+    h = 16 + (media_id * 7) % 24
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    base = r * 31 + c * 17 + media_id
+    px = np.stack([base % 256, (base * 3 + 1) % 256, (base * 5 + 2) % 256],
+                  axis=-1).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm_meta(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Real binary-PPM decode: parse the P6 header and validate that the
+    raster carries exactly width*height*3 one-byte samples. Returns
+    ``(width, height, 3)`` or None for NULL/non-PPM/truncated payloads
+    (schema-stable codec-error rows, like :func:`decode_wav_meta`).
+    Comments and 2-byte (maxval>255) rasters are not supported and
+    decode to None rather than silently guessing."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    m = _PPM_HEADER_RE.match(b)
+    if not m:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    if len(b) - m.end() != w * h * 3:
+        return None
+    return (w, h, 3)
+
+
+def synthetic_images(spark, n_rows: int, num_partitions: int | None = None
+                     ) -> DataFrame:
+    """Deterministic image media table carrying REAL binary-PPM payloads
+    (generated executor-side in Arrow batches, never via the driver)."""
+    base = spark.range(0, n_rows, 1,
+                       num_partitions
+                       or spark.sparkContext.defaultParallelism)
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synthesize_ppm(int(i)) for i in pdf["id"]],
+            })
+
+    media = base.mapInPandas(gen, out_schema)
+    return with_media_meta(media, media_type="image", mime="image/x-portable-pixmap")
 
 
 def resize_stub(df: DataFrame, width: int, height: int,

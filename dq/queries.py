@@ -1576,6 +1576,41 @@ FROM dims GROUP BY 1
 """
 
 
+def q_image_decode(spark, sf_dir):
+    """REAL image codec round-trip, oracle-checked: synthetic binary-PPM
+    payloads (dq/multimodal.py:synthesize_ppm — dims are pure arithmetic
+    of the id) → mapInPandas decode through the real P6 parser
+    (decode_ppm_meta: header parse + raster-length validation) →
+    per-width aggregation. The DuckDB oracle recomputes width/height
+    from the id arithmetic and total bytes from the P6 layout
+    (13-byte header + 3*w*h raster), so a decoder that misparses any
+    payload hash-mismatches."""
+    from dq import multimodal as mm
+    media = mm.synthetic_images(spark, 1000)
+    decoded = mm.decode_images(media, decoder=mm.decode_ppm_meta)
+    return (decoded
+            .groupBy(F.col("img.width").alias("width"))
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("meta.n_bytes").alias("total_bytes"),
+                 F.min("img.height").alias("min_height"),
+                 F.max("img.height").alias("max_height")))
+
+
+ORACLE_IMAGE_DECODE = """
+WITH dims AS (
+  SELECT CAST(16 + i % 24 AS INT) AS w,
+         CAST(16 + (i * 7) % 24 AS INT) AS h
+  FROM range(0, 1000) t(i)
+)
+SELECT w AS width,
+       count(*) AS n_images,
+       CAST(sum(13 + 3 * w * h) AS BIGINT) AS total_bytes,
+       min(h) AS min_height,
+       max(h) AS max_height
+FROM dims GROUP BY 1
+"""
+
+
 def q_scrubbed_fingerprints(spark, sf_dir):
     """Scrub stage plumbing: per-doc md5 fingerprint of scrubbed text.
     The corpus has no planted PII, so scrub is the identity mapping and
@@ -1633,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_pipeline": q_quality_filter_pipeline,
     "pipeline_rules_only": q_pipeline_rules_only,
     "multimodal_decode": q_multimodal_decode,
+    "image_decode": q_image_decode,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
 
@@ -1684,6 +1720,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "pipeline_rules_only": ORACLE_PIPELINE_RULES,
     "multimodal_decode": ORACLE_MULTIMODAL,
+    "image_decode": ORACLE_IMAGE_DECODE,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in
     # its docstring.

@@ -110,3 +110,48 @@ def test_decode_wav_meta_handles_nulls_and_garbage(spark):
             for r in mm.decode_audio(df).collect()}
     assert rows[1] is not None and rows[1]["sample_rate"] == 8000
     assert rows[2] is None and rows[3] is None
+
+
+# ------------------------------------------------------- real PPM codec
+
+def test_ppm_decode_end_to_end(spark):
+    """REAL image codec path: synthesize_ppm writes genuine binary P6
+    bytes executor-side; decode_images with decode_ppm_meta parses the
+    header and validates the raster. Dims must match the id arithmetic
+    the synthesizer embeds (the same invariant the DuckDB oracle of the
+    image_decode driver query recomputes)."""
+    rows = {r["media_id"]: r["img"]
+            for r in mm.decode_images(mm.synthetic_images(spark, 60, 4),
+                                      decoder=mm.decode_ppm_meta)
+            .collect()}
+    assert len(rows) == 60
+    for mid, img in rows.items():
+        assert img["width"] == 16 + mid % 24
+        assert img["height"] == 16 + (mid * 7) % 24
+        assert img["channels"] == 3
+
+
+def test_ppm_synthesis_partition_invariant(spark):
+    a = {r["media_id"]: bytes(r["payload"])
+         for r in mm.synthetic_images(spark, 30, 2).collect()}
+    b = {r["media_id"]: bytes(r["payload"])
+         for r in mm.synthetic_images(spark, 30, 16).collect()}
+    assert a == b
+    assert all(p[:3] == b"P6\n" for p in a.values())
+    # payload length is exactly header + raster for the 2-digit dims
+    for mid, p in a.items():
+        w, h = 16 + mid % 24, 16 + (mid * 7) % 24
+        assert len(p) == 13 + 3 * w * h
+
+
+def test_decode_ppm_meta_rejects_malformed():
+    assert mm.decode_ppm_meta(None) is None
+    assert mm.decode_ppm_meta(b"not a ppm") is None
+    assert mm.decode_ppm_meta(b"P5\n2 2\n255\n" + b"\x00" * 4) is None
+    good = mm.synthesize_ppm(7)
+    assert mm.decode_ppm_meta(good) == (16 + 7 % 24, 16 + 49 % 24, 3)
+    # truncated raster and trailing junk both decode to None, not a guess
+    assert mm.decode_ppm_meta(good[:-1]) is None
+    assert mm.decode_ppm_meta(good + b"x") is None
+    # 16-bit raster (maxval > 255) is unsupported -> None
+    assert mm.decode_ppm_meta(b"P6\n2 2\n65535\n" + b"\x00" * 24) is None
