@@ -189,10 +189,13 @@ def decode_ppm_meta(payload: bytes | None) -> tuple[int, int, int] | None:
     return (w, h, 3)
 
 
-def synthetic_images(spark, n_rows: int, num_partitions: int | None = None
-                     ) -> DataFrame:
-    """Deterministic image media table carrying REAL binary-PPM payloads
-    (generated executor-side in Arrow batches, never via the driver)."""
+def _synthetic_payload_table(spark, n_rows: int,
+                             num_partitions: int | None,
+                             synth_fn, media_type: str,
+                             mime: str) -> DataFrame:
+    """Shared scaffold for the real-codec synthetic tables: id range →
+    per-id payload bytes generated EXECUTOR-SIDE in Arrow batches (the
+    payload never passes through the driver) → typed meta struct."""
     base = spark.range(0, n_rows, 1,
                        num_partitions
                        or spark.sparkContext.defaultParallelism)
@@ -205,11 +208,19 @@ def synthetic_images(spark, n_rows: int, num_partitions: int | None = None
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["id"],
-                "payload": [synthesize_ppm(int(i)) for i in pdf["id"]],
+                "payload": [synth_fn(int(i)) for i in pdf["id"]],
             })
 
     media = base.mapInPandas(gen, out_schema)
-    return with_media_meta(media, media_type="image", mime="image/x-portable-pixmap")
+    return with_media_meta(media, media_type=media_type, mime=mime)
+
+
+def synthetic_images(spark, n_rows: int, num_partitions: int | None = None
+                     ) -> DataFrame:
+    """Deterministic image media table carrying REAL binary-PPM payloads."""
+    return _synthetic_payload_table(
+        spark, n_rows, num_partitions, synthesize_ppm,
+        "image", "image/x-portable-pixmap")
 
 
 def resize_stub(df: DataFrame, width: int, height: int,
@@ -341,7 +352,10 @@ def decode_wav_meta(payload: bytes | None) -> dict | None:
         arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
         rms = float(np.sqrt(np.mean(arr * arr)))
     else:
-        rms = 0.0
+        # rms is only computed for PCM16; other sample widths decode
+        # their header honestly but carry a NULL feature — 0.0 would be
+        # indistinguishable from true digital silence downstream
+        rms = None
     return {"sample_rate": sr, "channels": ch, "sample_width": sw,
             "n_frames": nf,
             "duration_ms": (nf * 1000) // sr if sr else 0,
@@ -370,26 +384,10 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
 def synthetic_audio(spark, n_rows: int, num_partitions: int | None = None,
                     sample_rate: int = 8000) -> DataFrame:
     """Deterministic audio media table carrying REAL WAV payloads
-    (``synthesize_wav`` per id, generated executor-side in Arrow
-    batches — the payload never passes through the driver)."""
-    base = spark.range(0, n_rows, 1,
-                       num_partitions
-                       or spark.sparkContext.defaultParallelism)
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType()),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synthesize_wav(int(i), sample_rate)
-                            for i in pdf["id"]],
-            })
-
-    media = base.mapInPandas(gen, out_schema)
-    return with_media_meta(media, media_type="audio", mime="audio/wav")
+    (``synthesize_wav`` per id)."""
+    return _synthetic_payload_table(
+        spark, n_rows, num_partitions,
+        lambda i: synthesize_wav(i, sample_rate), "audio", "audio/wav")
 
 
 def synthetic_media(spark, n_rows: int, num_partitions: int | None = None

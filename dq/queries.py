@@ -1476,7 +1476,14 @@ WITH pages AS (
          CASE WHEN n > 0 THEN ndistinct / n ELSE 0.0 END AS distratio,
          CASE WHEN n > 0 THEN alphacount / n ELSE 0.0 END AS alphafrac,
          min(url) OVER (
-             PARTITION BY CASE WHEN has_text THEN text ELSE url END
+             -- blank-text rows key by url, salted with a NUL byte so the
+             -- key can never collide with a real text value (mirrors the
+             -- Spark side's xxhash64(url,'nulltext') domain separation:
+             -- there, blank rows hash a DIFFERENT tuple than text rows;
+             -- here, a text that exactly equals some url must not merge
+             -- the two groups)
+             PARTITION BY CASE WHEN has_text THEN text
+                               ELSE url || chr(0) END
          ) AS keep_url
   FROM s
 ), v AS (

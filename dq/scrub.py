@@ -63,8 +63,13 @@ _TOXIC_SUBSTRINGS = tuple(w.lower() for w in TOXIC_LEXICON)
 # lexicon word whose Unicode IGNORECASE fold matches ASCII text (e.g.
 # 'ſ' folding to 's') would be missed by the substring scan. Enforce the
 # invariant the optimization depends on instead of assuming it.
-assert all(w.isascii() for w in TOXIC_LEXICON), \
-    "ASCII toxic-prefilter requires a pure-ASCII lexicon"
+# A real raise, not `assert`: python -O strips asserts, and executors
+# commonly run PYTHONOPTIMIZE'd — the one mode where losing this guard
+# would silently break the byte-identity contract.
+if not all(w.isascii() for w in TOXIC_LEXICON):
+    raise ValueError("ASCII toxic-prefilter requires a pure-ASCII lexicon; "
+                     "remove the shortcut in scrub_string before adding "
+                     "non-ASCII lexicon words")
 
 
 def scrub_string(text: str | None) -> str | None:

@@ -46,37 +46,61 @@ def get_spark(
     submitted = "PYSPARK_GATEWAY_PORT" in os.environ
     if master is None and not submitted:
         master = f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
-    builder = SparkSession.builder
-    if master is not None:
-        builder = builder.master(master)
-    builder = (
-        builder
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("DQ_DRIVER_MEM", "48g"))
+    # Everything below is a DEFAULT, not a mandate: builder.config()
+    # values override spark-submit --conf at getOrCreate, so under
+    # spark-submit we read the JVM-side conf first and only fill the
+    # holes — an operator's `--conf spark.sql.shuffle.partitions=2000`
+    # on a 1000-executor cluster must win over the sandbox's 32.
+    # Explicit function arguments (shuffle_partitions, extra_conf)
+    # still override everything: the caller asked for them by name.
+    existing: dict[str, str] = {}
+    if submitted:
+        # SparkConf(loadDefaults) only reads the submitted --conf values
+        # (JVM system properties) once the py4j gateway is connected;
+        # before that it silently degrades to an EMPTY python-side dict.
+        # Under spark-submit the gateway JVM already exists, so
+        # connecting is cheap and side-effect-free.
+        from pyspark import SparkConf, SparkContext
+        SparkContext._ensure_initialized()
+        existing = dict(SparkConf(loadDefaults=True).getAll())
+
+    defaults = {
+        "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.ansi.enabled": "false",
+        "spark.driver.memory": os.environ.get("DQ_DRIVER_MEM", "48g"),
         # throughput GC: the allocation-heavy string stages (tokenize/
         # normalize) measured ~1.8x faster at 32 threads under
         # ParallelGC than default G1 (and G1 showed multi-10s full-GC
         # stalls under sustained allocation); for a batch engine,
         # throughput collector > pause-target collector
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": "134217728",
         # managed-table warehouse for AuditStore catalog mode (on a real
         # cluster this is the Iceberg catalog's warehouse location)
-        .config("spark.sql.warehouse.dir",
-                os.environ.get("DQ_WAREHOUSE", "/tmp/dq_warehouse"))
-    )
-    for k, v in (extra_conf or {}).items():
+        "spark.sql.warehouse.dir":
+            os.environ.get("DQ_WAREHOUSE", "/tmp/dq_warehouse"),
+    }
+    forced: dict[str, str] = {}
+    if shuffle_partitions is not None:
+        forced["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    forced.update(extra_conf or {})
+
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
+    builder = builder.appName(app_name)
+    for k, v in defaults.items():
+        if k not in existing:
+            builder = builder.config(k, v)
+    for k, v in forced.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

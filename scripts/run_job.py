@@ -10,7 +10,8 @@ Packaging (north rule: "Packaged for spark-submit --py-files"):
         --run-date 2025-10-03
 
 On a cluster, omit ``--master`` and let spark-submit supply YARN/K8s;
-the session factory only fills in ``local[N]`` when nothing is set.
+the session factory only fills in ``local[N]`` when nothing is set,
+and any ``--conf`` you submit wins over its defaults.
 Re-running the same command after a failure resumes: completed
 partitions are skipped via the checkpoint anti-join, and audit appends
 are keyed by (execution_id, partition) so reruns stay idempotent.
@@ -51,6 +52,9 @@ def main(argv=None) -> int:
     from dq.session import get_spark
 
     spark = get_spark("dq-quality-filter")
+    print(f"session: master={spark.sparkContext.master} "
+          f"shuffle.partitions="
+          f"{spark.conf.get('spark.sql.shuffle.partitions')}")
     try:  # no-op under --py-files; covers bare local runs from any cwd
         from dq.queries import ensure_dq_shipped
         ensure_dq_shipped(spark)

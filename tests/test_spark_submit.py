@@ -68,6 +68,9 @@ def test_spark_submit_pyfiles_run_and_resume(spark, tmp_path):
                 "--execution-id", "smoke-1", "--run-date", "2025-10-03")
 
     out1 = _submit(zip_path, work, *job_args)
+    # submit-supplied settings must win over the session factory's
+    # sandbox defaults (master AND --conf values)
+    assert "session: master=local[4] shuffle.partitions=4" in out1
     assert "execution smoke-1: kept " in out1
     kept1 = int(out1.split("kept ")[1].split(" ")[0])
     assert kept1 > 0
