@@ -131,7 +131,20 @@ class Level:
             self.proc.kill()
 
 
+def _host_probe() -> float:
+    """Same single-core clock probe as bench.py: the host throttles
+    ~2-6x under load, and a stage row measured in a throttled window is
+    only interpretable with the probe beside it."""
+    import time
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
+    probe_before = _host_probe()
     if not os.path.exists(os.path.join(PAGES, "_SUCCESS")):
         sub = (
             "import sys; sys.path.insert(0, '.')\n"
@@ -170,7 +183,9 @@ def main() -> None:
                   "best_pair": max(pair_effs)}
         sys.stderr.write(f"{s}: {times[s]}\n")
     print(json.dumps({"n_docs": N_DOCS, "low_cores": N_LOW,
-                      "high_cores": N_HIGH, "stages": out}))
+                      "high_cores": N_HIGH, "stages": out,
+                      "probe_before_sec": probe_before,
+                      "probe_after_sec": _host_probe()}))
 
 
 if __name__ == "__main__":
