@@ -1618,6 +1618,48 @@ FROM dims GROUP BY 1
 """
 
 
+def q_contamination_scan(spark, sf_dir):
+    """Benchmark decontamination (dq/contamination.py): every 17th doc
+    plays the held-out eval set; the rest is the training corpus. A
+    corpus doc is contaminated when any of its distinct 3-token
+    shingles appears in the benchmark's shingle set (the synthetic
+    corpus' dup pool guarantees real positives). Benchmark gram set is
+    broadcast — the corpus side's only exchange is the map-side-combined
+    per-doc hit count."""
+    from dq.contamination import flag_contaminated
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return flag_contaminated(corpus, bench, n=3)
+
+
+ORACLE_CONTAMINATION = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND trim(text, ' ') <> ''
+              THEN regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')
+              ELSE [] END AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), chr(9247)) AS s
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+), h AS (
+  SELECT c.doc_id, count(*) AS hits
+  FROM sh c JOIN bench USING (s)
+  WHERE c.doc_id % 17 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       coalesce(h.hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN h USING (doc_id)
+"""
+
+
 def q_scrubbed_fingerprints(spark, sf_dir):
     """Scrub stage plumbing: per-doc md5 fingerprint of scrubbed text.
     The corpus has no planted PII, so scrub is the identity mapping and
@@ -1676,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_rules_only": q_pipeline_rules_only,
     "multimodal_decode": q_multimodal_decode,
     "image_decode": q_image_decode,
+    "contamination_scan": q_contamination_scan,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
 
@@ -1728,6 +1771,7 @@ ORACLES: dict[str, str] = {
     "pipeline_rules_only": ORACLE_PIPELINE_RULES,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "image_decode": ORACLE_IMAGE_DECODE,
+    "contamination_scan": ORACLE_CONTAMINATION,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in
     # its docstring.

@@ -543,3 +543,49 @@ def test_near_dup_threshold_margin_supports_sql_oracle(spark):
     vecs = np.asarray([r["embedding"] for r in e.collect()], dtype=np.float64)
     sign_margin = np.abs(vecs @ pmat.T).min()
     assert sign_margin > 1e-9, sign_margin
+
+
+# -------------------------------------------------- decontamination
+
+def test_contamination_planted(spark):
+    """A corpus doc sharing a 3-gram with the benchmark is flagged; an
+    unrelated doc is not; blank text reports zero hits."""
+    from dq.contamination import flag_contaminated
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words here entirely unrelated text"),
+         (3, None)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "we observed the quick brown fox yesterday evening")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["hits"], r["contaminated"])
+           for r in flag_contaminated(corpus, bench, n=3).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox"
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # min_hits threshold: requiring 3 shared grams unflags doc 1
+    out3 = {r["doc_id"]: r["contaminated"]
+            for r in flag_contaminated(corpus, bench, n=3,
+                                       min_hits=3).collect()}
+    assert out3[1] is False
+
+
+def test_contamination_levers_are_result_identical(spark):
+    """hash_grams (xxhash64 longs on the wire) and broadcast_bench=False
+    (shuffle semi-join) are physical levers only — results must be
+    bit-identical to the default string/broadcast plan."""
+    from dq.contamination import flag_contaminated
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter("doc_id % 17 = 0")
+    corpus = d.filter("doc_id % 17 != 0")
+    want = sorted(map(tuple, flag_contaminated(corpus, bench, n=3)
+                      .collect()))
+    for kw in ({"hash_grams": True}, {"broadcast_bench": False},
+               {"hash_grams": True, "broadcast_bench": False}):
+        got = sorted(map(tuple,
+                         flag_contaminated(corpus, bench, n=3, **kw)
+                         .collect()))
+        assert got == want, kw
+    assert any(r[2] for r in want)   # the dup pool plants real positives
