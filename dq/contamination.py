@@ -47,7 +47,11 @@ def benchmark_ngrams(benchmark: DataFrame, text_col: str = "text",
                  .alias("gram"))
          .distinct())
     if hash_grams:
-        g = g.select(F.xxhash64("gram").alias("gram"))
+        # re-distinct AFTER hashing: a collision between two distinct
+        # grams must degrade to the documented membership error
+        # (U^2/2^65), not to duplicate probe rows that multiply every
+        # matching document's hit count. The set is tiny; free.
+        g = g.select(F.xxhash64("gram").alias("gram")).distinct()
     return g
 
 
@@ -64,6 +68,12 @@ def flag_contaminated(corpus: DataFrame, benchmark: DataFrame,
     a gram repeated inside one document counts once); ``contaminated``
     = hits >= min_hits. Documents with no shingles (blank/short text)
     report hits=0.
+
+    Precondition (same as ``dq.dedup.exact_dedup``): ``id_col`` values
+    are unique in ``corpus``. Duplicate ids would sum their rows' hits
+    under one key and duplicate output rows — deduplicating here would
+    cost a corpus-wide exchange the broadcast design exists to avoid,
+    so the contract is on the caller (web corpora key by url).
     """
     bench = benchmark_ngrams(benchmark, text_col, n, hash_grams)
     if broadcast_bench:

@@ -132,15 +132,13 @@ class Level:
 
 
 def _host_probe() -> float:
-    """Same single-core clock probe as bench.py: the host throttles
-    ~2-6x under load, and a stage row measured in a throttled window is
-    only interpretable with the probe beside it."""
-    import time
-    t0 = time.time()
-    s = 0
-    for i in range(20_000_000):
-        s += i * i
-    return round(time.time() - t0, 2)
+    """bench.py's single-core clock probe (ONE implementation — the two
+    numbers are compared side-by-side in BENCH.md, so they must come
+    from the same calibration): the host throttles ~2-6x under load,
+    and a stage row measured in a throttled window is only
+    interpretable with the probe beside it."""
+    from bench import host_probe  # repo root is on sys.path (line 29)
+    return round(host_probe(), 2)
 
 
 def main() -> None:

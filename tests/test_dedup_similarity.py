@@ -577,7 +577,7 @@ def test_contamination_levers_are_result_identical(spark):
     (shuffle semi-join) are physical levers only — results must be
     bit-identical to the default string/broadcast plan."""
     from dq.contamination import flag_contaminated
-    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = spark.read.parquet(f"{SF}/documents.parquet")
     bench = d.filter("doc_id % 17 = 0")
     corpus = d.filter("doc_id % 17 != 0")
     want = sorted(map(tuple, flag_contaminated(corpus, bench, n=3)
