@@ -153,6 +153,17 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
 _PPM_HEADER_RE = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
 
 
+def _gradient_rgb(w: int, h: int, media_id: int) -> np.ndarray:
+    """(h, w, 3) uint8 deterministic RGB gradient — pure arithmetic of
+    (row, col, id), shared by the PPM and PNG synthesizers so both
+    drivers' oracles predict pixels with the same SQL arithmetic."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    base = r * 31 + c * 17 + media_id
+    return np.stack([base % 256, (base * 3 + 1) % 256,
+                     (base * 5 + 2) % 256], axis=-1).astype(np.uint8)
+
+
 def synthesize_ppm(media_id: int) -> bytes:
     """REAL binary PPM (P6) bytes: a deterministic RGB gradient whose
     dimensions are pure ARITHMETIC of the id (w = 16 + id % 24,
@@ -160,12 +171,7 @@ def synthesize_ppm(media_id: int) -> bytes:
     predict the decode output without running the codec."""
     w = 16 + media_id % 24
     h = 16 + (media_id * 7) % 24
-    r = np.arange(h, dtype=np.int64)[:, None]
-    c = np.arange(w, dtype=np.int64)[None, :]
-    base = r * 31 + c * 17 + media_id
-    px = np.stack([base % 256, (base * 3 + 1) % 256, (base * 5 + 2) % 256],
-                  axis=-1).astype(np.uint8)
-    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + _gradient_rgb(w, h, media_id).tobytes()
 
 
 def decode_ppm_meta(payload: bytes | None) -> tuple[int, int, int] | None:

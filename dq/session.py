@@ -60,10 +60,25 @@ def get_spark(
         # (JVM system properties) once the py4j gateway is connected;
         # before that it silently degrades to an EMPTY python-side dict.
         # Under spark-submit the gateway JVM already exists, so
-        # connecting is cheap and side-effect-free.
+        # connecting is cheap and side-effect-free. Both the env marker
+        # (PYSPARK_GATEWAY_PORT) and _ensure_initialized are PySpark
+        # internals — verified against pyspark 4.1.x and covered by
+        # tests/test_spark_submit.py where spark-submit is on PATH. If
+        # a future PySpark changes either, degrade with a loud warning
+        # instead of crashing: the cost is that library DEFAULTS may
+        # then shadow operator --conf values (builder.config wins at
+        # getOrCreate), which the warning names explicitly.
         from pyspark import SparkConf, SparkContext
-        SparkContext._ensure_initialized()
-        existing = dict(SparkConf(loadDefaults=True).getAll())
+        try:
+            SparkContext._ensure_initialized()
+            existing = dict(SparkConf(loadDefaults=True).getAll())
+        except Exception as exc:  # noqa: BLE001 — private-API drift
+            import warnings
+            warnings.warn(
+                "dq.session: could not read spark-submit --conf values "
+                f"({exc!r}); library defaults may override operator "
+                "--conf settings. Pass extra_conf to restore precedence.",
+                RuntimeWarning, stacklevel=2)
 
     defaults = {
         "spark.sql.shuffle.partitions": str(max(cpus, 8)),
@@ -128,14 +143,17 @@ def catalog_session(spark: SparkSession):
                                        # lazy frames read confs at
                                        # action time, not build time
 
-    On exit the two confs are restored to their entry values (unset
-    stays unset)."""
+    On exit the two confs are re-pinned to their entry-time EFFECTIVE
+    values. (``spark.conf.get(k, None)`` returns the engine's effective
+    default even for a conf never explicitly set — so exit always sets
+    the conf explicitly rather than unsetting it; the observable
+    semantics are identical, the conf just shows as set. ADVICE r4.)"""
     saved = {k: spark.conf.get(k, None) for k in _CATALOG_CONFS}
     try:
         yield spark
     finally:
         for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
+            if v is None:       # unreachable for these two confs; kept
+                spark.conf.unset(k)   # for safety if the tuple grows
             else:
                 spark.conf.set(k, v)

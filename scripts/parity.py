@@ -27,8 +27,15 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-from dq.queries import ORACLES, QUERIES, TABLES  # noqa: E402
+from dq.queries import (  # noqa: E402
+    _GATE_EMBEDDINGS_N,
+    _near_dup_oracle_sql,
+    ORACLES,
+    QUERIES,
+    TABLES,
+)
 from dq.session import get_spark  # noqa: E402
+from dq.similarity import near_dup_band_params  # noqa: E402
 
 
 def canon(val):
@@ -73,6 +80,18 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    oracles = dict(ORACLES)
+    # embedding_near_dup auto-sizes its banding to the corpus count; the
+    # committed oracle string is generated at the driver-gate size
+    # (sf0.01). At any other scale, regenerate it at the size the Spark
+    # query will pick, instead of emitting a misleading FAIL (ADVICE r4).
+    n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    if n_emb != _GATE_EMBEDDINGS_N and "embedding_near_dup" in oracles:
+        oracles["embedding_near_dup"] = _near_dup_oracle_sql(
+            *near_dup_band_params(n_emb))
+        print(f"note  embedding_near_dup oracle regenerated for "
+              f"{n_emb} vectors (gate size is {_GATE_EMBEDDINGS_N})")
+
     failures = []
     ran = 0
     for name, fn in QUERIES.items():
@@ -85,7 +104,7 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL  {name}: spark error {exc}")
             continue
-        sql = ORACLES.get(name)
+        sql = oracles.get(name)
         if sql is None:
             print(f"ok    {name}: rows-only ({len(spdf)} rows)")
             if len(spdf) == 0 and name != "simhash_pairs":

@@ -374,7 +374,38 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
-# ------------------------------------------------- connected components
+def test_near_dup_banded_exchange_excludes_vectors(spark):
+    """The bands× exploded self-join exchange must carry ONLY
+    (id, band-key) — never the embedding (round-4 verdict finding #2:
+    at 10⁹ × 768-dim the vector-through-explode shape is bands × ~3 KB
+    per vector of exchange write amplification). Formatted explain
+    lists every Exchange's Input columns; assert no array-typed /
+    vector column rides a band-key exchange."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")      # force a real shuffle for the self-join
+    try:
+        out = similarity.embedding_near_dup_pairs(df, threshold=0.4,
+                                                  n_planes=8, bands=4,
+                                                  dim=64)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set(key, saved)
+    blocks = [b for b in plan.split("\n\n") if b.lstrip().startswith("(")]
+    band_exchanges = 0
+    for block in blocks:
+        lines = block.splitlines()
+        if "Exchange" not in lines[0]:     # Exchange / BroadcastExchange
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        if "_bk#" not in inp:
+            continue
+        band_exchanges += 1
+        assert "embedding" not in inp and "_vv" not in inp \
+            and "x_v" not in inp, block
+    assert band_exchanges >= 1, plan    # the banded join does exchange keys
 
 def test_connected_components_shapes(spark):
     """Chain, clique, and isolated pair each collapse to min-id label."""
