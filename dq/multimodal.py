@@ -195,6 +195,189 @@ def decode_ppm_meta(payload: bytes | None) -> tuple[int, int, int] | None:
     return (w, h, 3)
 
 
+# -------------------------------------------------- PNG codec (stdlib) ---
+# A real, dependency-free PNG path: zlib for the IDAT stream, struct for
+# chunk framing, and the full five-filter scanline reconstruction
+# (None/Sub/Up/Average/Paeth — PNG spec §6, public W3C standard). The
+# synthesizer cycles through all five filters row-by-row so the decoder's
+# reconstruction logic is genuinely exercised, and the pixel content is
+# the same id-arithmetic gradient as PPM, so a DuckDB oracle can predict
+# the decoded PIXEL SUM (not just the header) without running a codec.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, elementwise on int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synthesize_png(media_id: int) -> bytes:
+    """REAL PNG bytes (8-bit RGB, colour type 2): dims are pure
+    arithmetic of the id (w = 12 + id*5 % 29, h = 12 + id*11 % 29),
+    pixels are the shared :func:`_gradient_rgb`, and the scanline
+    filter cycles 0..4 by row so every reconstruction branch of
+    :func:`decode_png_meta` runs on every image."""
+    import struct
+    import zlib
+    w = 12 + (media_id * 5) % 29
+    h = 12 + (media_id * 11) % 29
+    px = _gradient_rgb(w, h, media_id).astype(np.int64)   # (h, w, 3)
+    bpp = 3
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    lines = []
+    for r in range(h):
+        row = px[r]
+        left = np.vstack([np.zeros((1, bpp), np.int64), row[:-1]])
+        upleft = np.vstack([np.zeros((1, bpp), np.int64), prev[:-1]])
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, upleft)
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_meta(payload: bytes | None) -> dict | None:
+    """Real stdlib PNG decode: chunk walk with CRC validation, IHDR
+    parse, zlib-inflate of the concatenated IDAT stream, and full
+    five-filter scanline reconstruction. Returns ``{width, height,
+    channels, pixel_sum}`` where ``pixel_sum`` is the sum of every
+    reconstructed sample byte — the feature that makes pixel-level
+    correctness oracle-checkable. Unsupported shapes (bit depth ≠ 8,
+    colour type ≠ 2/truecolour, interlaced) and any malformed stream
+    (bad CRC, bad inflate, wrong raster size) decode to None rather
+    than silently guessing — the schema-stable codec-error row."""
+    if payload is None:
+        return None
+    import struct
+    import zlib
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    end_seen = False
+    try:
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            tag = b[pos + 4: pos + 8]
+            body = b[pos + 8: pos + 8 + ln]
+            if len(body) != ln or pos + 12 + ln > len(b):
+                return None
+            (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                end_seen = True
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat or not end_seen:
+            return None
+        w, h, depth, ctype, comp, filt_m, interlace = ihdr
+        if depth != 8 or ctype != 2 or comp != 0 or filt_m != 0 \
+                or interlace != 0 or w <= 0 or h <= 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error):
+        return None
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        return None
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    total = 0
+    for r in range(h):
+        ft = int(data[r, 0])
+        filt = data[r, 1:].astype(np.int64).reshape(w, bpp)
+        if ft == 0:
+            recon = filt
+        elif ft == 1:      # Sub: per-lane prefix sum mod 256
+            recon = np.cumsum(filt, axis=0) % 256
+        elif ft == 2:      # Up
+            recon = (filt + prev) % 256
+        elif ft == 3:      # Average: sequential in x (left-dependency)
+            recon = np.empty_like(filt)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                left = (filt[x] + (left + prev[x]) // 2) % 256
+                recon[x] = left
+        elif ft == 4:      # Paeth: sequential in x
+            recon = np.empty_like(filt)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                left = (filt[x] + _paeth(left, prev[x], upleft)) % 256
+                recon[x] = left
+                upleft = prev[x]
+        else:
+            return None
+        total += int(recon.sum())
+        prev = recon
+    return {"width": int(w), "height": int(h), "channels": bpp,
+            "pixel_sum": total}
+
+
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixel_sum", T.LongType()),
+])
+
+
+def decode_pngs(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append a ``png`` struct (width/height/channels/pixel_sum) via the
+    real stdlib PNG decoder — same iterator-of-batches shape as
+    :func:`decode_images`/:func:`decode_audio`."""
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("png", PNG_META_SCHEMA)])
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decode_png_meta         # per-partition init point
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["png"] = [dec(p) for p in pdf[payload_col]]
+            yield pdf[names]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthetic_pngs(spark, n_rows: int, num_partitions: int | None = None
+                   ) -> DataFrame:
+    """Deterministic image media table carrying REAL PNG payloads."""
+    return _synthetic_payload_table(
+        spark, n_rows, num_partitions, synthesize_png, "image", "image/png")
+
+
 def _synthetic_payload_table(spark, n_rows: int,
                              num_partitions: int | None,
                              synth_fn, media_type: str,

@@ -1626,6 +1626,50 @@ FROM dims GROUP BY 1
 """
 
 
+def q_png_decode(spark, sf_dir):
+    """REAL stdlib PNG codec round-trip, oracle-checked at PIXEL level:
+    synthetic PNGs (dq/multimodal.py:synthesize_png — zlib IDAT, CRC'd
+    chunks, scanline filter cycling 0..4 by row) → mapInPandas decode
+    through the full five-filter reconstruction (decode_png_meta) →
+    per-width aggregation INCLUDING the decoded pixel-byte sum. The
+    DuckDB oracle recomputes width/height AND the pixel sum from the
+    id-arithmetic gradient, so a decoder that misreconstructs any
+    filter row (not just a header misparse) hash-mismatches."""
+    from dq import multimodal as mm
+    media = mm.synthetic_pngs(spark, 600)
+    decoded = mm.decode_pngs(media)
+    return (decoded
+            .groupBy(F.col("png.width").alias("width"))
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.min("png.height").alias("min_height"),
+                 F.max("png.height").alias("max_height"),
+                 F.sum("png.pixel_sum").alias("pixel_sum")))
+
+
+ORACLE_PNG_DECODE = """
+WITH dims AS (
+  SELECT i, 12 + (i * 5) % 29 AS w, 12 + (i * 11) % 29 AS h
+  FROM range(0, 600) t(i)
+), px AS (
+  SELECT d.i, d.w, d.h, (r.r * 31 + c.c * 17 + d.i) AS base
+  FROM dims d
+  JOIN range(0, 40) r(r) ON r.r < d.h
+  JOIN range(0, 40) c(c) ON c.c < d.w
+), sums AS (
+  SELECT i, w, h,
+         SUM(base % 256 + (base * 3 + 1) % 256 + (base * 5 + 2) % 256)
+         AS ps
+  FROM px GROUP BY i, w, h
+)
+SELECT CAST(w AS INT) AS width,
+       count(*) AS n_images,
+       CAST(min(h) AS INT) AS min_height,
+       CAST(max(h) AS INT) AS max_height,
+       CAST(sum(ps) AS BIGINT) AS pixel_sum
+FROM sums GROUP BY 1
+"""
+
+
 def q_contamination_scan(spark, sf_dir):
     """Benchmark decontamination (dq/contamination.py): every 17th doc
     plays the held-out eval set; the rest is the training corpus. A
@@ -1726,6 +1770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_rules_only": q_pipeline_rules_only,
     "multimodal_decode": q_multimodal_decode,
     "image_decode": q_image_decode,
+    "png_decode": q_png_decode,
     "contamination_scan": q_contamination_scan,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
@@ -1779,6 +1824,7 @@ ORACLES: dict[str, str] = {
     "pipeline_rules_only": ORACLE_PIPELINE_RULES,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "image_decode": ORACLE_IMAGE_DECODE,
+    "png_decode": ORACLE_PNG_DECODE,
     "contamination_scan": ORACLE_CONTAMINATION,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in

@@ -155,3 +155,57 @@ def test_decode_ppm_meta_rejects_malformed():
     assert mm.decode_ppm_meta(good + b"x") is None
     # 16-bit raster (maxval > 255) is unsupported -> None
     assert mm.decode_ppm_meta(b"P6\n2 2\n65535\n" + b"\x00" * 24) is None
+
+
+# ------------------------------------------------------- real PNG codec
+
+def test_png_roundtrip_pixel_exact():
+    """decode(synthesize(id)) must reproduce the gradient pixel sum for
+    ids covering every (filter-row pattern, dims) combination — the
+    synthesizer cycles filters 0..4 by row, so each image exercises the
+    full five-filter reconstruction."""
+    import numpy as np
+    for mid in list(range(40)) + [100, 299, 599]:
+        w = 12 + (mid * 5) % 29
+        h = 12 + (mid * 11) % 29
+        want = int(mm._gradient_rgb(w, h, mid).astype(np.int64).sum())
+        got = mm.decode_png_meta(mm.synthesize_png(mid))
+        assert got == {"width": w, "height": h, "channels": 3,
+                       "pixel_sum": want}, (mid, got)
+
+
+def test_decode_png_meta_rejects_malformed():
+    import struct
+    import zlib
+    good = mm.synthesize_png(3)
+    assert mm.decode_png_meta(None) is None
+    assert mm.decode_png_meta(b"not a png") is None
+    assert mm.decode_png_meta(good[:-6]) is None       # missing IEND
+    bad = bytearray(good)
+    bad[50] ^= 0xFF                                    # CRC / inflate break
+    assert mm.decode_png_meta(bytes(bad)) is None
+    # unsupported shape (RGBA colour type) decodes to None, not a guess
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    fake = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 68))
+            + mm._png_chunk(b"IEND", b""))
+    assert mm.decode_png_meta(fake) is None
+
+
+def test_png_decode_spark_end_to_end(spark):
+    import numpy as np
+    rows = {r["media_id"]: r["png"]
+            for r in mm.decode_pngs(mm.synthetic_pngs(spark, 40, 4))
+            .collect()}
+    assert len(rows) == 40
+    for mid, png in rows.items():
+        w = 12 + (mid * 5) % 29
+        h = 12 + (mid * 11) % 29
+        assert png["width"] == w and png["height"] == h
+        assert png["pixel_sum"] == int(
+            mm._gradient_rgb(w, h, mid).astype(np.int64).sum())
+    a = {r["media_id"]: bytes(r["payload"])
+         for r in mm.synthetic_pngs(spark, 20, 2).collect()}
+    b = {r["media_id"]: bytes(r["payload"])
+         for r in mm.synthetic_pngs(spark, 20, 16).collect()}
+    assert a == b                        # partition-invariant payloads
