@@ -620,3 +620,81 @@ def test_contamination_levers_are_result_identical(spark):
                          .collect()))
         assert got == want, kw
     assert any(r[2] for r in want)   # the dup pool plants real positives
+
+
+def test_contamination_shuffle_path_has_no_broadcast(spark):
+    """broadcast_bench=False must produce a genuinely broadcast-free
+    physical plan for the gram join (the 10⁹-gram-eval-suite path) —
+    with the auto-broadcast thresholds disabled so the optimizer can't
+    silently re-broadcast a small test benchmark, the executed plan
+    must contain no BroadcastExchange/BroadcastHashJoin, while the
+    default plan must contain one. Results identical either way."""
+    from dq.contamination import flag_contaminated
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter("doc_id % 17 = 0")
+    corpus = d.filter("doc_id % 17 != 0")
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    # adaptive.autoBroadcastJoinThreshold defaults to unset (inherits
+    # the static one) — restore via unset, not set(None)
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        shuffled = flag_contaminated(corpus, bench, n=3,
+                                     broadcast_bench=False)
+        got = sorted(map(tuple, shuffled.collect()))
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan, plan
+        hinted = flag_contaminated(corpus, bench, n=3)
+        want = sorted(map(tuple, hinted.collect()))
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan   # the hint survives -1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
+
+
+def test_contamination_bloom_lever_is_result_identical(spark):
+    """bloom_prefilter is a pure physical lever on the shuffle path:
+    the pre-probe may pass false positives into the exact semi-join
+    (which removes them) but can never drop a member, so results are
+    bit-identical — with and without hash_grams, and at a sloppy fpp."""
+    from dq.contamination import flag_contaminated
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter("doc_id % 17 = 0")
+    corpus = d.filter("doc_id % 17 != 0")
+    want = sorted(map(tuple, flag_contaminated(corpus, bench, n=3)
+                      .collect()))
+    for kw in ({}, {"hash_grams": True}, {"bloom_fpp": 0.3}):
+        got = sorted(map(tuple,
+                         flag_contaminated(corpus, bench, n=3,
+                                           broadcast_bench=False,
+                                           bloom_prefilter=True, **kw)
+                         .collect()))
+        assert got == want, kw
+
+
+def test_gram_bloom_no_false_negatives_and_bounded_fpp(spark):
+    """Direct contract check of the distributed bloom build: every
+    inserted gram probes True (no false negatives, the soundness the
+    prefilter relies on), and non-members probe True at roughly the
+    configured rate (generous 5x bound — it's a probabilistic filter,
+    the exact join is the correctness backstop)."""
+    from pyspark.sql import functions as F
+    from dq.contamination import build_gram_bloom, make_might_contain_udf
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("gram_"), F.col("id")).alias("gram"))
+    bits, m_bits, k = build_gram_bloom(members, 2000, fpp=0.01)
+    probe = make_might_contain_udf(spark, bits, m_bits, k)
+    hit = members.select(probe(F.xxhash64("gram")).alias("m"))
+    assert hit.filter("NOT m").count() == 0
+    outsiders = spark.range(0, 20000).select(
+        F.concat(F.lit("other_"), F.col("id")).alias("gram"))
+    fp = (outsiders.select(probe(F.xxhash64("gram")).alias("m"))
+          .filter("m").count())
+    assert fp / 20000 < 0.05, fp
