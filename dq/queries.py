@@ -1379,14 +1379,14 @@ def q_embedding_index_topk(spark, sf_dir):
                       F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
 
 
-def q_quality_filter_pipeline(spark, sf_dir):
-    """End-to-end flagship: heuristics (Column exprs) + langid +
-    perplexity (broadcast-model pandas UDFs) + exact dedup + scrub →
-    per-(source, keep) tallies. Model-scored — no SQL oracle (rows-only
-    check); keep/drop F1 vs an independent pandas oracle is asserted in
-    tests/test_pipeline.py."""
+def flagship_scored(spark, sf_dir):
+    """The flagship's scored frame (``score_pages`` at the flagship
+    PipelineConfig) — shared by ``q_quality_filter_pipeline`` and the
+    goldens regression test (tests/test_pipeline.py), which pins
+    per-source quantized model-score aggregates off this exact
+    config."""
     from dq.heuristics import HeuristicConfig
-    from dq.pipeline import ALL_RULES, PipelineConfig, score_pages
+    from dq.pipeline import PipelineConfig, score_pages
 
     pages = _documents_as_webpages(spark, sf_dir)
     cfg = PipelineConfig(
@@ -1394,7 +1394,21 @@ def q_quality_filter_pipeline(spark, sf_dir):
         heuristics=HeuristicConfig(min_words=30, min_stopword_frac=0.0,
                                    min_mean_word_len=2.0),
     )
-    scored = score_pages(spark, pages, cfg)
+    return score_pages(spark, pages, cfg)
+
+
+def q_quality_filter_pipeline(spark, sf_dir):
+    """End-to-end flagship: heuristics (Column exprs) + langid +
+    perplexity (broadcast-model pandas UDFs) + exact dedup + scrub →
+    per-(source, keep) tallies. Model-scored — no SQL oracle (rows-only
+    check); keep/drop F1 vs an independent pandas oracle is asserted in
+    tests/test_pipeline.py, and the per-(source, rule) tallies plus
+    quantized score sums are pinned by committed goldens
+    (tests/goldens/) so any model change that shifts verdicts or
+    scores fails loudly."""
+    from dq.pipeline import ALL_RULES
+
+    scored = flagship_scored(spark, sf_dir)
     aggs = [F.sum(F.col(r).cast("long")).alias(f"pass_{r}")
             for r in ALL_RULES]
     return (scored.groupBy("source")

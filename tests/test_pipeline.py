@@ -55,6 +55,44 @@ def test_keep_drop_f1_vs_oracle(spark):
     assert f1 >= 0.99, (f1, tp, fp, fn)
 
 
+def test_flagship_goldens(spark):
+    """Regression gate for the model-scored flagship (the one driver
+    query with no SQL oracle): per-(source, rule) pass tallies AND
+    quantized model-score sums at sf0.001/sf0.01 must match the
+    committed goldens exactly. The score pins are order-independent
+    long sums (xxhash64(lang_pred) mod p; floor(ppl*100)) of per-doc
+    values the batch≡per-doc property tests prove partition-invariant,
+    so any model change that shifts a verdict OR a score fails loudly
+    — regenerate via scripts/make_goldens.py only with an intentional
+    model change."""
+    import json
+    import pathlib
+
+    from dq import queries
+
+    golden = json.load(open(
+        pathlib.Path(__file__).parent / "goldens"
+        / "quality_filter_pipeline.json"))
+    for sf, want in golden.items():
+        d = f"/root/testdata/{sf}"
+        tallies = sorted(
+            (r.asDict() for r in
+             queries.q_quality_filter_pipeline(spark, d).collect()),
+            key=lambda r: r["source"])
+        assert tallies == want["tallies"], sf
+        pins = sorted(
+            (r.asDict() for r in
+             queries.flagship_scored(spark, d).groupBy("source").agg(
+                 F.sum(F.pmod(F.xxhash64("lang_pred"),
+                              F.lit(1000003))).alias("lang_hash_sum"),
+                 F.sum(F.floor(F.col("ppl") * 100)
+                       .cast("long")).alias("ppl_q_sum"),
+                 F.sum(F.col("lang_pred").eqNullSafe(F.lit("en"))
+                       .cast("long")).alias("n_en")).collect()),
+            key=lambda r: r["source"])
+        assert pins == want["score_pins"], sf
+
+
 def test_pipeline_outputs_and_scrub_identity(spark, tmp_path):
     store = AuditStore(str(tmp_path / "audit"))
     pages = webpages(spark, 600)
