@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dq.queries import ORACLES, QUERIES, q_quality_filter_pipeline  # noqa: E402
+from dq.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    ivf_oracle_sql,
+    q_quality_filter_pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,4 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    oracles = dict(ORACLES)
+    # The IVF oracle embeds DATA-dependent centroid literals (trained
+    # from the gate fixture via the pyarrow twin of the Spark trainer),
+    # so it is generated here rather than committed as a static string.
+    # The driver compares at sf=0.01; if the fixture is absent the query
+    # degrades to the rows-only check instead of crashing the contract.
+    gate = "/root/testdata/sf0.01"
+    if os.path.exists(f"{gate}/embeddings.parquet"):
+        oracles["embedding_ivf_topk"] = ivf_oracle_sql(gate)
+    return oracles

@@ -1336,21 +1336,13 @@ def _documents_as_webpages(spark, sf_dir):
         "doc_id", "source")
 
 
-def q_embedding_index_topk(spark, sf_dir):
-    """ANN over a persisted multi-table LSH index: bucketed-parquet
-    build (once per sf_dir) + partition-pruned query — the IVF-style
-    scale path where query I/O is the collision buckets, not the
-    corpus. Results are identical to scan-time LSH at the same params
-    (asserted in tests), and exactly mirrored by the driver's SQL
-    oracle via plane literals (see q_embedding_lsh_topk — same margin
-    argument)."""
+def _emb_fingerprint(sf_dir):
+    """Cache key fingerprinting the embeddings DATA (file names/sizes/
+    mtimes), not just the path — regenerated fixtures invalidate a
+    cached index instead of silently serving stale neighbors."""
     import hashlib as _h
     import os
 
-    e = _t(spark, sf_dir, "embeddings")
-    # cache key fingerprints the DATA (file names/sizes/mtimes), not just
-    # the path — regenerated fixtures invalidate the cached index instead
-    # of silently serving stale neighbors
     src = f"{sf_dir}/embeddings.parquet"
     h = _h.sha1(sf_dir.encode())
     if os.path.isdir(src):
@@ -1360,23 +1352,140 @@ def q_embedding_index_topk(spark, sf_dir):
     elif os.path.exists(src):
         st = os.stat(src)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    path = os.path.join("/tmp", f"dq_lsh_index_{h.hexdigest()[:16]}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # build into a temp dir + atomic rename: a concurrent builder
-        # either wins the rename or reads the winner's complete index
-        tmp = f"{path}.build.{os.getpid()}"
-        similarity.build_lsh_index(e, tmp, n_planes=32, bands=4, dim=64)
-        try:
-            os.rename(tmp, path)
-        except OSError:           # lost the race — winner's index is whole
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
+    return h.hexdigest()[:16]
+
+
+def _build_index_once(path, builder):
+    """Build into a temp dir + atomic rename: a concurrent builder
+    either wins the rename or reads the winner's complete index."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.build.{os.getpid()}"
+    builder(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:               # lost the race — winner's index is whole
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_embedding_index_topk(spark, sf_dir):
+    """ANN over a persisted multi-table LSH index: bucketed-parquet
+    build (once per sf_dir) + partition-pruned query — the IVF-style
+    scale path where query I/O is the collision buckets, not the
+    corpus. Results are identical to scan-time LSH at the same params
+    (asserted in tests), and exactly mirrored by the driver's SQL
+    oracle via plane literals (see q_embedding_lsh_topk — same margin
+    argument)."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join("/tmp", f"dq_lsh_index_{_emb_fingerprint(sf_dir)}")
+    _build_index_once(path, lambda tmp: similarity.build_lsh_index(
+        e, tmp, n_planes=32, bands=4, dim=64))
     queries = (e.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = similarity.lsh_index_topk(spark, path, queries, k=5,
                                     n_planes=32, bands=4, dim=64)
     return out.select("query_id", "vec_id",
                       F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
+# IVF parameters shared by the Spark query and the oracle generator —
+# one source of truth, since the oracle embeds the trained centroids
+# as SQL literals and any drift in these means different centroids.
+IVF_PARAMS = {"n_centroids": 16, "n_iter": 8, "seed": 7,
+              "max_train": 262_144}
+IVF_NPROBE = 4
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """ANN over a persisted IVF (k-means inverted-file) index — the
+    data-adaptive alternative to hyperplane LSH (dq/ivf.py module
+    docstring has the trade): centroids trained on an id-ordered
+    bounded sample (deterministic numpy Lloyd), corpus assigned
+    map-side, parquet partitioned by list_id, queries pruned to their
+    nprobe probe lists. The DuckDB oracle re-derives assignment, probe
+    sets, and ranked cosines from the SAME centroids embedded as SQL
+    literals (``ivf_oracle_sql`` trains them via the pyarrow twin of
+    the Spark trainer — bit-identical by the determinism contract in
+    dq/ivf.py; assignment/probe argmax margins are asserted in
+    tests/test_dedup_similarity.py the way the LSH sign margins are)."""
+    import os
+
+    from dq import ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join("/tmp", f"dq_ivf_index_{_emb_fingerprint(sf_dir)}")
+    _build_index_once(path, lambda tmp: ivf.build_ivf_index(
+        e, tmp, **IVF_PARAMS))
+    queries = (e.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf.ivf_topk(spark, path, queries, k=5, nprobe=IVF_NPROBE)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim_r6"), "rank")
+
+
+def ivf_oracle_sql(sf_dir: str, k: int = 5) -> str:
+    """Exact SQL mirror of ``q_embedding_ivf_topk``, generated at
+    comparison time because the centroids depend on the DATA (unlike
+    the seeded plane literals): train the same centroids from the same
+    id-ordered sample via the Spark-free pyarrow path, embed them as
+    literals, and re-derive list assignment (argmax dot, ties to lower
+    centroid id), per-query probe sets (top-nprobe by the same order),
+    candidates (corpus vec's list ∈ query's probe set), and ranked
+    cosines. repr() floats round-trip bit-identically into DuckDB."""
+    from dq import ivf
+
+    cents = ivf.train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", **IVF_PARAMS)
+    dim = cents.shape[1]
+    rows = ",\n".join(
+        "({}, [{}])".format(c, ", ".join(repr(v) for v in vec))
+        for c, vec in enumerate(cents.tolist()))
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+{rows}
+), e AS (
+  SELECT vec_id, embedding FROM embeddings
+), dots AS (
+  SELECT e.vec_id, cents.cid,
+         list_sum(list_transform(range(1, {dim} + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * cv[i])) AS dot
+  FROM e CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cid) AS rn
+  FROM dots
+), assign AS (
+  SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM ranked
+  WHERE vec_id < 10 AND rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cos_sim
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim_r6,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
 
 
 def flagship_scored(spark, sf_dir):
@@ -1779,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_index_topk": q_embedding_index_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_filter_pipeline": q_quality_filter_pipeline,
     "pipeline_rules_only": q_pipeline_rules_only,
@@ -1843,4 +1953,8 @@ ORACLES: dict[str, str] = {
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in
     # its docstring.
+    # embedding_ivf_topk: oracle is DATA-dependent (trained centroid
+    # literals) — generated at comparison time by ivf_oracle_sql(sf_dir);
+    # __spark_entry__.oracle_sql() adds it for the driver's sf0.01 gate,
+    # scripts/parity.py regenerates it for whatever sf_dir it runs at.
 }

@@ -30,6 +30,7 @@ sys.path.insert(0, ".")
 from dq.queries import (  # noqa: E402
     _GATE_EMBEDDINGS_N,
     _near_dup_oracle_sql,
+    ivf_oracle_sql,
     ORACLES,
     QUERIES,
     TABLES,
@@ -91,6 +92,9 @@ def main() -> int:
             *near_dup_band_params(n_emb))
         print(f"note  embedding_near_dup oracle regenerated for "
               f"{n_emb} vectors (gate size is {_GATE_EMBEDDINGS_N})")
+    # the IVF oracle embeds data-dependent centroid literals — always
+    # generated at comparison time from this sf_dir's parquet
+    oracles["embedding_ivf_topk"] = ivf_oracle_sql(sf_dir)
 
     failures = []
     ran = 0

@@ -360,6 +360,116 @@ def test_lsh_plane_sign_margin_supports_sql_oracle(spark):
             assert margin > 1e-9, (sf, n_planes, margin)
 
 
+def test_ivf_trainer_twins_bit_identical(spark):
+    """The IVF oracle's exactness rests on the Spark-collected and
+    pyarrow-read trainers producing THE SAME centroids (dq/ivf.py
+    determinism contract). Assert bit-identity on two fixtures."""
+    import numpy as np
+
+    from dq import ivf
+    from dq.queries import IVF_PARAMS
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        c_spark = ivf.train_centroids(spark.read.parquet(path), **IVF_PARAMS)
+        c_arrow = ivf.train_centroids_from_parquet(path, **IVF_PARAMS)
+        assert np.array_equal(c_spark, c_arrow), sf
+        # unit-norm invariant the dot≡cosine assignment relies on
+        assert np.allclose(np.linalg.norm(c_spark, axis=1), 1.0)
+
+
+def test_ivf_topk_recall_and_prunes(spark, emb, tmp_path):
+    """IVF results are approximate (neighbors in unprobed lists are the
+    recall loss) — gate recall vs brute force, and assert the probe
+    predicate actually partition-prunes the index read."""
+    from dq import ivf
+
+    path = str(tmp_path / "ivfidx")
+    cents = ivf.build_ivf_index(emb, path, n_centroids=8)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    # near-random fixture vectors cluster weakly (high-dim uniform is
+    # IVF's worst case), so the recall gate probes 6/8 lists — the
+    # recall/cost dial working as designed; measured 0.74 at 4/8
+    approx = ivf.ivf_topk(spark, path, queries, k=5, nprobe=6).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    def num_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.get("numFiles").get().value()
+        return total
+
+    qm = similarity._stack(queries.toPandas()["embedding"])
+    wanted = sorted({int(v)
+                     for v in ivf.probe_lists(qm, cents, 2).ravel()})
+    idx = spark.read.parquet(path)
+    pruned = num_files(idx.filter(F.col("list_id").isin(wanted)))
+    full = num_files(idx)
+    assert 0 < pruned < full, (pruned, full)
+
+
+def test_ivf_argmax_margins_support_sql_oracle(spark):
+    """The IVF oracle re-derives list assignment (argmax dot) and probe
+    sets (top-nprobe) in DuckDB from centroid literals; exactness needs
+    every argmax/boundary decision to clear a margin far above
+    cross-engine summation-order error (~1e-15 relative for 64-dim O(1)
+    dots) — the IVF analogue of the LSH sign-margin test. Assert the
+    top1-vs-top2 assignment gap and the nprobe boundary gap on every
+    testdata corpus at the catalog's trained centroids."""
+    import numpy as np
+
+    from dq import ivf
+    from dq.queries import IVF_NPROBE, IVF_PARAMS
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        cents = ivf.train_centroids_from_parquet(path, **IVF_PARAMS)
+        pdf = spark.read.parquet(path).toPandas()
+        mat = similarity._stack(pdf["embedding"])
+        dots = np.sort(mat @ cents.T, axis=1)[:, ::-1]
+        assign_gap = (dots[:, 0] - dots[:, 1]).min()
+        probe_gap = (dots[:, IVF_NPROBE - 1] - dots[:, IVF_NPROBE]).min()
+        assert assign_gap > 1e-9, (sf, assign_gap)
+        assert probe_gap > 1e-9, (sf, probe_gap)
+
+
+def test_ivf_zero_norm_vectors_never_rank(spark, tmp_path):
+    """Degenerate vectors: as corpus rows they assign to list −1 (never
+    probed, never candidates); as queries they produce no rows — same
+    convention as the LSH/brute-force paths."""
+    import numpy as np
+
+    from dq import ivf
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(12)]
+    rows.append((99, [0.0] * 64))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfz")
+    ivf.build_ivf_index(df, path, n_centroids=4)
+    lists = {r["x_id"]: r["list_id"]
+             for r in spark.read.parquet(path).collect()}
+    assert lists[99] == -1
+    queries = (df.filter(F.col("vec_id").isin(0, 99))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = ivf.ivf_topk(spark, path, queries, k=3, nprobe=4).collect()
+    assert all(r["vec_id"] != 99 for r in got), got
+    assert all(r["query_id"] != 99 for r in got), got
+    assert any(r["query_id"] == 0 for r in got)
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     import numpy as np
     rng = np.random.RandomState(0)
