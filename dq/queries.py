@@ -1793,6 +1793,45 @@ FROM sums GROUP BY 1
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """REAL nearest-neighbor resize, oracle-checked per MEDIA at PIXEL
+    level: synthetic binary PPMs (dims pure arithmetic of the id) →
+    mapInPandas decode + gather at ``src = (dst * src) // dst`` + P6
+    re-encode (dq/multimodal.py:resize_ppm) → one row per image with
+    the resized payload length and resized pixel-byte sum. The DuckDB
+    oracle replays the same floor-mapped gather over the id-arithmetic
+    gradient, so a resize that misindexes a single source pixel
+    hash-mismatches. Target 7x5 is deliberately a non-divisor of every
+    source dim, exercising the floor mapping off the trivial path."""
+    from dq import multimodal as mm
+    media = mm.synthetic_images(spark, 800)
+    resized = mm.resize_images(media, 7, 5)
+    return resized.select(
+        "media_id",
+        F.col("resized_w"), F.col("resized_h"),
+        F.length("resized").cast("int").alias("n_bytes"),
+        F.col("resized_pixel_sum"))
+
+
+ORACLE_IMAGE_RESIZE = """
+WITH dims AS (
+  SELECT i, 16 + i % 24 AS w, 16 + (i * 7) % 24 AS h
+  FROM range(0, 800) t(i)
+), px AS (
+  SELECT d.i,
+         ((y.y * d.h) // 5) * 31 + ((x.x * d.w) // 7) * 17 + d.i AS base
+  FROM dims d, range(0, 5) y(y), range(0, 7) x(x)
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(7 AS INT) AS resized_w,
+       CAST(5 AS INT) AS resized_h,
+       CAST(11 + 3 * 7 * 5 AS INT) AS n_bytes,
+       CAST(SUM(base % 256 + (base * 3 + 1) % 256 + (base * 5 + 2) % 256)
+            AS BIGINT) AS resized_pixel_sum
+FROM px GROUP BY 1
+"""
+
+
 def q_contamination_scan(spark, sf_dir):
     """Benchmark decontamination (dq/contamination.py): every 17th doc
     plays the held-out eval set; the rest is the training corpus. A
@@ -1895,6 +1934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "image_decode": q_image_decode,
     "png_decode": q_png_decode,
+    "image_resize": q_image_resize,
     "contamination_scan": q_contamination_scan,
     "scrubbed_fingerprints": q_scrubbed_fingerprints,
 }
@@ -1949,6 +1989,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL,
     "image_decode": ORACLE_IMAGE_DECODE,
     "png_decode": ORACLE_PNG_DECODE,
+    "image_resize": ORACLE_IMAGE_RESIZE,
     "contamination_scan": ORACLE_CONTAMINATION,
     "scrubbed_fingerprints": ORACLE_SCRUB_FP,
     # quality_filter_pipeline (model-scored): rows-only, documented in

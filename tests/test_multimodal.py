@@ -209,3 +209,42 @@ def test_png_decode_spark_end_to_end(spark):
     b = {r["media_id"]: bytes(r["payload"])
          for r in mm.synthetic_pngs(spark, 20, 16).collect()}
     assert a == b                        # partition-invariant payloads
+
+
+def test_resize_ppm_real_pixels_and_roundtrip():
+    import numpy as np
+    for mid in (0, 5, 23, 777):
+        payload = mm.synthesize_ppm(mid)
+        out = mm.resize_ppm(payload, 7, 5)
+        assert out is not None
+        resized, psum = out
+        # the resized payload is itself a valid P6 the decoder accepts
+        assert mm.decode_ppm_meta(resized) == (7, 5, 3)
+        # reference: numpy floor-mapped gather over the source gradient
+        w = 16 + mid % 24
+        h = 16 + (mid * 7) % 24
+        img = mm._gradient_rgb(w, h, mid)
+        sy = (np.arange(5) * h) // 5
+        sx = (np.arange(7) * w) // 7
+        ref = img[sy[:, None], sx[None, :]]
+        assert psum == int(ref.astype(np.int64).sum())
+        assert resized[11:] == ref.tobytes()
+    # codec-error contract: garbage and None resize to None
+    assert mm.resize_ppm(None, 7, 5) is None
+    assert mm.resize_ppm(b"nope", 7, 5) is None
+
+
+def test_resize_images_spark_end_to_end(spark):
+    import numpy as np
+    rows = {r["media_id"]: r for r in
+            mm.resize_images(mm.synthetic_images(spark, 30, 4), 7, 5)
+            .collect()}
+    assert len(rows) == 30
+    for mid, r in rows.items():
+        w = 16 + mid % 24
+        h = 16 + (mid * 7) % 24
+        img = mm._gradient_rgb(w, h, mid)
+        ref = img[(np.arange(5) * h) // 5][:, (np.arange(7) * w) // 7]
+        assert r["resized_w"] == 7 and r["resized_h"] == 5
+        assert r["resized_pixel_sum"] == int(ref.astype(np.int64).sum())
+        assert bytes(r["resized"])[11:] == ref.tobytes()
